@@ -1,0 +1,95 @@
+"""End-to-end DSVT detector: points -> boxes, one XLA program.
+
+The reference's inference path (src/dsvt-ai-trt.cpp:1884-1975) crosses the
+host/device boundary twice per frame plus a host NMS; here the entire
+pipeline — voxelize, PFN, window/set partition, 4 DSVT blocks, BEV scatter,
+2D ResNet, CenterHead, decode, score filter, and (optionally) rotated NMS —
+is a single jitted function with zero host sync until the final
+[top_k, 9] + count readback.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DSVTConfig
+from ..ops.voxelize import voxelize
+from ..ops.windows import window_partition, set_partition
+from ..ops.bev import map_to_bev
+from ..ops.postprocess import decode_and_filter, Detections
+from ..ops import nms as nms_ops
+from .vfe import vfe_forward
+from .backbone3d import backbone3d_forward
+from .backbone2d import backbone2d_forward
+from .head import head_forward
+
+
+def forward(params: Dict, points: jax.Array, num_points: jax.Array,
+            cfg: DSVTConfig, with_nms: bool = False) -> Detections:
+    """points: [max_points, 4]; num_points: [] int32."""
+    precision = cfg.precision
+    pillars = voxelize(points, num_points, cfg)
+    feats = vfe_forward(pillars, params["vfe"], cfg.max_pillars, precision)
+
+    wparts, sparts = [], []
+    for spec in cfg.window_specs:
+        wp = window_partition(pillars.coords, pillars.pillar_valid, spec, cfg)
+        sp = set_partition(wp, pillars.pillar_valid, spec, cfg)
+        wparts.append(wp)
+        sparts.append(sp)
+
+    feats = backbone3d_forward(feats, wparts, sparts, params, cfg, precision)
+
+    bev = map_to_bev(feats, pillars.coords, pillars.pillar_valid,
+                     (cfg.grid_size[1], cfg.grid_size[0]))
+    bev = backbone2d_forward(bev, params["backbone2d"], precision)
+    head_out = head_forward(bev, params["head"], precision)
+    dets = decode_and_filter(head_out, cfg)
+    if with_nms:
+        boxes, count = nms_ops.nms(dets.boxes, dets.count, cfg.nms_threshold)
+        dets = Detections(boxes=boxes, count=count)
+    return dets
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "with_nms"))
+def forward_jit(params, points, num_points, cfg: DSVTConfig,
+                with_nms: bool = False) -> Detections:
+    return forward(params, points, num_points, cfg, with_nms)
+
+
+def forward_batch(params, points: jax.Array, num_points: jax.Array,
+                  cfg: DSVTConfig, with_nms: bool = False) -> Detections:
+    """Data-parallel batched forward: points [B, N, 4], num_points [B]."""
+    return jax.vmap(lambda p, n: forward(params, p, n, cfg, with_nms))(
+        points, num_points)
+
+
+class IntermediateOutputs(NamedTuple):
+    pillars: object
+    pillar_feats: jax.Array
+    dsvt_feats: jax.Array
+    bev_features: jax.Array
+    head_out: Dict[str, jax.Array]
+
+
+def forward_debug(params, points, num_points, cfg: DSVTConfig) -> IntermediateOutputs:
+    """Per-stage outputs for parity debugging (the reference's analogue is
+    commented-out cnpy .npy dumps, cpp:1943-1949)."""
+    precision = cfg.precision
+    pillars = voxelize(points, num_points, cfg)
+    pfeats = vfe_forward(pillars, params["vfe"], cfg.max_pillars, precision)
+    wparts, sparts = [], []
+    for spec in cfg.window_specs:
+        wp = window_partition(pillars.coords, pillars.pillar_valid, spec, cfg)
+        sparts.append(set_partition(wp, pillars.pillar_valid, spec, cfg))
+        wparts.append(wp)
+    dfeats = backbone3d_forward(pfeats, wparts, sparts, params, cfg, precision)
+    bev = map_to_bev(dfeats, pillars.coords, pillars.pillar_valid,
+                     (cfg.grid_size[1], cfg.grid_size[0]))
+    bev2 = backbone2d_forward(bev, params["backbone2d"], precision)
+    head_out = head_forward(bev2, params["head"], precision)
+    return IntermediateOutputs(pillars, pfeats, dfeats, bev2, head_out)

@@ -1,0 +1,100 @@
+"""Batched set multi-head attention for DSVT, TPU-native.
+
+Replaces the reference's TRT-primitive attention assembly
+(src/dsvt-ai-trt.cpp:288-458: seven shuffles, an elementwise divide against a
+materialized constant tensor because addScale could not scale by 1/sqrt(d),
+and two BMMs over a [sets*heads, 36, 24] layout) with one einsum chain over
+[S, K, H, D].  XLA fuses the gather, bias adds, scale, mask add and softmax
+around the two MXU matmuls; an optional Pallas kernel fuses the whole
+gather->attend->project pipeline per set tile.
+
+Semantics notes:
+  * q = k = pillar_feat + pos_embed, v = pillar_feat, gathered by the set's
+    global indices (getValueByIndex.cu:282-303).
+  * q is scaled by 1/sqrt(head_dim) before qk^T (cpp:397-405 divides by a
+    constant sqrt(24) tensor).
+  * the additive key mask is broadcast over query positions and heads
+    (cpp:376-412: mask reshaped to [sets*heads, 1, K]).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _maybe_bf16(x: jax.Array, precision: str) -> jax.Array:
+    return x.astype(jnp.bfloat16) if precision == "bf16" else x
+
+
+def set_attention(feats: jax.Array, pos: jax.Array, inds: jax.Array,
+                  key_mask: jax.Array, enc: dict, num_heads: int,
+                  precision: str = "fp32") -> jax.Array:
+    """One masked set-attention pass.
+
+    feats:    [P+1, C] pillar features with a zero dump row at index P.
+    pos:      [P+1, C] positional embedding (same dump row convention).
+    inds:     [S, K] global pillar index per set slot.
+    key_mask: [S, K] additive mask (0 / -3.4e38).
+    enc:      weights dict (wq,bq,wk,bk,wv,bv,wo,bo).
+    Returns:  [S, K, C] attention output (pre scatter-back).
+    """
+    S, K = inds.shape
+    C = feats.shape[-1]
+    H = num_heads
+    D = C // H
+
+    g_feat = feats[inds]                       # [S, K, C]
+    g_pos = pos[inds]
+    qk_in = g_feat + g_pos
+
+    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    qk_in = qk_in.astype(dt)
+    v_in = g_feat.astype(dt)
+
+    def proj(xm, w, b):
+        y = jnp.einsum("skc,cd->skd", xm, w.astype(dt),
+                       preferred_element_type=jnp.float32)
+        return y + b
+
+    q = proj(qk_in, enc["wq"], enc["bq"]).reshape(S, K, H, D)
+    k = proj(qk_in, enc["wk"], enc["bk"]).reshape(S, K, H, D)
+    v = proj(v_in, enc["wv"], enc["bv"]).reshape(S, K, H, D)
+
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+    logits = jnp.einsum("sqhd,skhd->shqk", (q * scale).astype(dt), k.astype(dt),
+                        preferred_element_type=jnp.float32)
+    logits = logits + key_mask[:, None, None, :]
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("shqk,skhd->sqhd", attn.astype(dt), v.astype(dt),
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(S, K, C)
+    out = jnp.einsum("skc,cd->skd", out.astype(dt), enc["wo"].astype(dt),
+                     preferred_element_type=jnp.float32) + enc["bo"]
+    return out
+
+
+def layer_norm(x: jax.Array, gamma: jax.Array, beta: jax.Array,
+               eps: float) -> jax.Array:
+    """Channel layer norm (layerNorm.cu:261-338; population variance)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+
+
+def gelu_tanh(x: jax.Array) -> jax.Array:
+    """tanh-approx GELU with the reference's constants (gelu.cu:201-210,
+    params.h:75-77): 0.5*x*(1 + tanh(x*(B + C*x^2)))."""
+    a, b, c = 0.5, 0.7978845608028654, 0.035677408136300125
+    return (a + a * jnp.tanh(x * (c * x * x + b))) * x
+
+
+def ffn(x: jax.Array, enc: dict, precision: str = "fp32") -> jax.Array:
+    """linear1 -> GELU -> linear2 (fullyConnected_gelu_fullyConnected,
+    cpp:494-529)."""
+    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    h = jnp.einsum("pc,cd->pd", x.astype(dt), enc["ffn_w1"].astype(dt),
+                   preferred_element_type=jnp.float32) + enc["ffn_b1"]
+    h = gelu_tanh(h)
+    return jnp.einsum("pc,cd->pd", h.astype(dt), enc["ffn_w2"].astype(dt),
+                      preferred_element_type=jnp.float32) + enc["ffn_b2"]
