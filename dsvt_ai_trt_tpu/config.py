@@ -161,4 +161,10 @@ HEAD_BRANCHES = (
 )
 
 
+def head_branches(cfg: "DSVTConfig"):
+    """Branch list with the heatmap width tied to cfg.num_classes."""
+    return tuple((name, cfg.num_classes if name == "hm" else c)
+                 for name, c in HEAD_BRANCHES)
+
+
 DEFAULT_CONFIG = DSVTConfig()

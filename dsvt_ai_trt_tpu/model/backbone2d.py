@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import BACKBONE2D_STAGES, BACKBONE2D_DEBLOCK
+from ..ops.common import dot_precision
 
 
 def _conv(x, w, b, stride=1, precision="fp32"):
@@ -29,6 +30,7 @@ def _conv(x, w, b, stride=1, precision="fp32"):
         padding="SAME" if w.shape[0] > 1 else "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
+        precision=dot_precision(precision),
     )[0]
     return y + b
 
@@ -53,7 +55,8 @@ def _upsample(x, w, b, k, precision):
     H, W, _ = x.shape
     dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
     y = jnp.einsum("hwi,ioyx->hywxo", x.astype(dt), w.astype(dt),
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=dot_precision(precision))
     y = y.reshape(H * k, W * k, w.shape[1]) + b
     return jnp.maximum(y, 0.0)
 

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from ..config import DSVTConfig
 from ..ops.attention import set_attention, layer_norm, ffn
+from ..ops.common import dot_precision
 from ..ops.windows import SetPartition, WindowPartition
 
 
@@ -39,10 +40,12 @@ def pos_embed_mlp(xy: jax.Array, mlp: dict, precision: str = "fp32") -> jax.Arra
     """linear(2->192)+BN1d(folded)+ReLU -> linear(192->192)
     (fullyConnectedBnLELU_fullyConnected, cpp:461-492)."""
     dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    h = xy @ mlp["w1"] + mlp["b1"]
+    prec = dot_precision(precision)
+    h = jnp.einsum("pc,cd->pd", xy, mlp["w1"],
+                   preferred_element_type=jnp.float32, precision=prec) + mlp["b1"]
     h = jnp.maximum(h, 0.0)
     return jnp.einsum("pc,cd->pd", h.astype(dt), mlp["w2"].astype(dt),
-                      preferred_element_type=jnp.float32) + mlp["b2"]
+                      preferred_element_type=jnp.float32, precision=prec) + mlp["b2"]
 
 
 def _with_dump_row(x: jax.Array) -> jax.Array:

@@ -11,6 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.common import dot_precision
 from ..ops.scatter import scatter_max
 from ..ops.voxelize import Pillars
 
@@ -18,7 +19,8 @@ from ..ops.voxelize import Pillars
 def _dense(x, w, b, precision):
     dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
     y = jnp.einsum("pc,cd->pd", x.astype(dt), w.astype(dt),
-                   preferred_element_type=jnp.float32) + b
+                   preferred_element_type=jnp.float32,
+                   precision=dot_precision(precision)) + b
     return jnp.maximum(y, 0.0)
 
 

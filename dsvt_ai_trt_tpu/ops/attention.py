@@ -22,6 +22,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .common import dot_precision
+
 
 def _maybe_bf16(x: jax.Array, precision: str) -> jax.Array:
     return x.astype(jnp.bfloat16) if precision == "bf16" else x
@@ -52,9 +54,11 @@ def set_attention(feats: jax.Array, pos: jax.Array, inds: jax.Array,
     qk_in = qk_in.astype(dt)
     v_in = g_feat.astype(dt)
 
+    prec = dot_precision(precision)
+
     def proj(xm, w, b):
         y = jnp.einsum("skc,cd->skd", xm, w.astype(dt),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32, precision=prec)
         return y + b
 
     q = proj(qk_in, enc["wq"], enc["bq"]).reshape(S, K, H, D)
@@ -63,14 +67,14 @@ def set_attention(feats: jax.Array, pos: jax.Array, inds: jax.Array,
 
     scale = 1.0 / jnp.sqrt(jnp.float32(D))
     logits = jnp.einsum("sqhd,skhd->shqk", (q * scale).astype(dt), k.astype(dt),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32, precision=prec)
     logits = logits + key_mask[:, None, None, :]
     attn = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("shqk,skhd->sqhd", attn.astype(dt), v.astype(dt),
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=prec)
     out = out.reshape(S, K, C)
     out = jnp.einsum("skc,cd->skd", out.astype(dt), enc["wo"].astype(dt),
-                     preferred_element_type=jnp.float32) + enc["bo"]
+                     preferred_element_type=jnp.float32, precision=prec) + enc["bo"]
     return out
 
 
@@ -93,8 +97,9 @@ def ffn(x: jax.Array, enc: dict, precision: str = "fp32") -> jax.Array:
     """linear1 -> GELU -> linear2 (fullyConnected_gelu_fullyConnected,
     cpp:494-529)."""
     dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    prec = dot_precision(precision)
     h = jnp.einsum("pc,cd->pd", x.astype(dt), enc["ffn_w1"].astype(dt),
-                   preferred_element_type=jnp.float32) + enc["ffn_b1"]
+                   preferred_element_type=jnp.float32, precision=prec) + enc["ffn_b1"]
     h = gelu_tanh(h)
     return jnp.einsum("pc,cd->pd", h.astype(dt), enc["ffn_w2"].astype(dt),
-                      preferred_element_type=jnp.float32) + enc["ffn_b2"]
+                      preferred_element_type=jnp.float32, precision=prec) + enc["ffn_b2"]

@@ -25,7 +25,8 @@ from typing import Dict, List
 
 import numpy as np
 
-from .config import DSVTConfig, HEAD_BRANCHES, BACKBONE2D_STAGES, BACKBONE2D_DEBLOCK
+from .config import (DSVTConfig, HEAD_BRANCHES, head_branches,
+                     BACKBONE2D_STAGES, BACKBONE2D_DEBLOCK)
 
 Raw = Dict[str, np.ndarray]
 
@@ -114,7 +115,7 @@ def param_spec(cfg: DSVTConfig) -> Dict[str, tuple]:
     # CenterHead (cpp:1369-1468)
     spec["module.dense_head.shared_conv.0.weight"] = (cfg.head_shared_channels, 128 * 3, 3, 3)
     spec.update(_bn_names("module.dense_head.shared_conv.1", cfg.head_shared_channels))
-    for name, out_c in HEAD_BRANCHES:
+    for name, out_c in head_branches(cfg):
         p = f"module.dense_head.heads_list.0.{name}"
         spec[f"{p}.0.0.weight"] = (cfg.head_conv_channels, cfg.head_shared_channels, 3, 3)
         spec.update(_bn_names(f"{p}.0.1", cfg.head_conv_channels))
@@ -383,7 +384,7 @@ def prepare_params(raw: Raw, cfg: DSVTConfig) -> Dict:
     head: Dict = {}
     head["shared_w"], head["shared_b"] = _conv_bn(
         raw, "module.dense_head.shared_conv.0", "module.dense_head.shared_conv.1", cfg.bn2d_eps)
-    for name, _c in HEAD_BRANCHES:
+    for name, _c in head_branches(cfg):
         pre = f"module.dense_head.heads_list.0.{name}"
         w0h, b0h = _conv_bn(raw, f"{pre}.0.0", f"{pre}.0.1", cfg.bn2d_eps)
         w1h, b1h = _conv_bias(raw, f"{pre}.1")

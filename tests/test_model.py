@@ -1,0 +1,80 @@
+import numpy as np
+import jax
+
+from dsvt_ai_trt_tpu import weights
+from dsvt_ai_trt_tpu.model.detector import forward_jit, forward_debug
+
+from conftest import make_cloud
+
+
+def test_end_to_end_runs_and_is_deterministic(tiny_cfg, rng):
+    cfg = tiny_cfg
+    params = weights.random_params(cfg, seed=3)
+    pts, n = make_cloud(rng, cfg, 1000)
+    d1 = forward_jit(params, pts, n, cfg, False)
+    d2 = forward_jit(params, pts, n, cfg, False)
+    np.testing.assert_array_equal(np.asarray(d1.boxes), np.asarray(d2.boxes))
+    assert int(d1.count) == int(d2.count)
+    assert np.isfinite(np.asarray(d1.boxes)).all()
+
+
+def test_point_permutation_invariance(tiny_cfg, rng):
+    """Shuffling input points must not change detections (the reference is
+    only nondeterministically stable here, SURVEY 2.4-5; we are exactly
+    invariant up to fp reduction order when no pillar overflows)."""
+    cfg = tiny_cfg
+    params = weights.random_params(cfg, seed=3)
+    pts, n = make_cloud(rng, cfg, 600)
+    perm = rng.permutation(int(n))
+    pts2 = pts.copy()
+    pts2[:int(n)] = pts[:int(n)][perm]
+    d1 = forward_jit(params, pts, n, cfg, False)
+    d2 = forward_jit(params, pts2, n, cfg, False)
+    assert int(d1.count) == int(d2.count)
+    c = int(d1.count)
+    b1, b2 = np.asarray(d1.boxes)[:c], np.asarray(d2.boxes)[:c]
+    np.testing.assert_allclose(b1, b2, atol=1e-3, rtol=1e-3)
+
+
+def test_debug_stage_shapes(tiny_cfg, rng):
+    cfg = tiny_cfg
+    params = weights.random_params(cfg, seed=3)
+    pts, n = make_cloud(rng, cfg, 500)
+    out = forward_debug(params, pts, n, cfg)
+    assert out.pillar_feats.shape == (cfg.max_pillars, cfg.d_model)
+    assert out.dsvt_feats.shape == (cfg.max_pillars, cfg.d_model)
+    H, W = cfg.grid_size[1], cfg.grid_size[0]
+    assert out.bev_features.shape == (H, W, 384)
+    assert out.head_out["hm"].shape == (H, W, cfg.num_classes)
+    assert out.head_out["center"].shape == (H, W, 2)
+    assert out.head_out["dim"].shape == (H, W, 3)
+
+
+def test_bf16_path_close_to_fp32(tiny_cfg, rng):
+    import dataclasses
+    cfg = tiny_cfg
+    cfg16 = dataclasses.replace(cfg, precision="bf16")
+    params = weights.random_params(cfg, seed=3)
+    pts, n = make_cloud(rng, cfg, 800)
+    d32 = forward_jit(params, pts, n, cfg, False)
+    d16 = forward_jit(params, pts, n, cfg16, False)
+    # box sets should largely agree; compare score maps loosely via counts
+    assert abs(int(d32.count) - int(d16.count)) <= max(2, int(d32.count) // 4)
+
+
+def test_empty_frame(tiny_cfg):
+    cfg = tiny_cfg
+    params = weights.random_params(cfg, seed=3)
+    pts = np.zeros((cfg.max_points, 4), np.float32)
+    d = forward_jit(params, pts, np.int32(0), cfg, False)
+    assert np.isfinite(np.asarray(d.boxes)).all()
+
+
+def test_nms_in_graph(tiny_cfg, rng):
+    cfg = tiny_cfg
+    params = weights.random_params(cfg, seed=3)
+    pts, n = make_cloud(rng, cfg, 800)
+    d = forward_jit(params, pts, n, cfg, True)
+    raw = forward_jit(params, pts, n, cfg, False)
+    assert int(d.count) <= int(raw.count)
+    assert np.isfinite(np.asarray(d.boxes)).all()

@@ -1,0 +1,71 @@
+import numpy as np
+import jax.numpy as jnp
+
+from dsvt_ai_trt_tpu.ops.nms import pairwise_rotated_overlap, nms
+
+import oracles
+
+
+def _random_boxes(rng, n):
+    boxes = np.zeros((n, 9), np.float32)
+    boxes[:, 0] = rng.uniform(-20, 20, n)   # x
+    boxes[:, 1] = rng.uniform(-20, 20, n)   # y
+    boxes[:, 2] = rng.uniform(-2, 2, n)     # z
+    boxes[:, 3] = rng.uniform(0.5, 6, n)    # dim0 (local-y extent)
+    boxes[:, 4] = rng.uniform(0.5, 3, n)    # dim1 (local-x extent)
+    boxes[:, 5] = rng.uniform(0.5, 3, n)
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    boxes[:, 7] = rng.integers(0, 3, n)
+    boxes[:, 8] = np.sort(rng.uniform(0.3, 1.0, n))[::-1]  # descending score
+    return boxes
+
+
+def test_pairwise_overlap_matches_oracle(rng):
+    n = 24
+    boxes = _random_boxes(rng, n)
+    # force clusters of overlapping boxes
+    boxes[1, :2] = boxes[0, :2] + 0.3
+    boxes[2, :2] = boxes[0, :2] + 0.1
+    boxes[2, 6] = boxes[0, 6] + 0.4
+    ov = np.asarray(pairwise_rotated_overlap(jnp.asarray(boxes)))
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            ref = oracles.box_overlap_oracle(boxes[i], boxes[j])
+            assert abs(ov[i, j] - ref) < 1e-2 + 1e-3 * max(ref, 1.0), (i, j, ov[i, j], ref)
+
+
+def test_identical_boxes_full_overlap(rng):
+    boxes = _random_boxes(rng, 4)
+    boxes[1] = boxes[0]
+    boxes[1, 8] = boxes[0, 8] - 0.01
+    ov = np.asarray(pairwise_rotated_overlap(jnp.asarray(boxes)))
+    area = boxes[0, 3] * boxes[0, 4]
+    assert abs(ov[0, 1] - area) / area < 1e-3
+
+
+def test_disjoint_boxes_zero_overlap():
+    boxes = np.zeros((2, 9), np.float32)
+    boxes[0] = [0, 0, 0, 2, 2, 2, 0.3, 0, 0.9]
+    boxes[1] = [10, 10, 0, 2, 2, 2, -0.3, 0, 0.8]
+    ov = np.asarray(pairwise_rotated_overlap(jnp.asarray(boxes)))
+    assert ov[0, 1] == 0.0
+
+
+def test_nms_matches_oracle(rng):
+    n = 40
+    boxes = _random_boxes(rng, n)
+    # build overlap clusters
+    for c in range(0, n - 4, 5):
+        boxes[c + 1:c + 4, :2] = boxes[c, :2] + rng.uniform(-0.5, 0.5, (3, 2))
+    count = n - 3  # a few padding rows
+    boxes[count:] = 0
+    kept, kcount = nms(jnp.asarray(boxes), jnp.int32(count), 0.01)
+    ref_keep = oracles.nms_oracle(boxes, count, 0.01)
+    assert int(kcount) == len(ref_keep)
+    kept = np.asarray(kept)[:int(kcount)]
+    ref_boxes = boxes[sorted(ref_keep)]
+    mine_sorted = kept[np.lexsort(kept.T)]
+    ref_sorted = ref_boxes[np.lexsort(ref_boxes.T)]
+    np.testing.assert_allclose(mine_sorted, ref_sorted, atol=1e-6)

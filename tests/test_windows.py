@@ -1,0 +1,91 @@
+import numpy as np
+
+from dsvt_ai_trt_tpu.ops.voxelize import voxelize
+from dsvt_ai_trt_tpu.ops.windows import window_partition, set_partition
+
+from conftest import make_cloud
+import oracles
+
+
+def _parts(cfg, rng, n=900):
+    pts, n = make_cloud(rng, cfg, n)
+    vox = voxelize(pts, n, cfg)
+    return vox
+
+
+def test_set_partition_matches_oracle(tiny_cfg, rng):
+    cfg = tiny_cfg
+    vox = _parts(cfg, rng)
+    coords = np.asarray(vox.coords)
+    valid = np.asarray(vox.pillar_valid)
+    for spec in cfg.window_specs:
+        wp = window_partition(vox.coords, vox.pillar_valid, spec, cfg)
+        sp = set_partition(wp, vox.pillar_valid, spec, cfg)
+        ref_inds, ref_mask, ref_count = oracles.set_partition_oracle(
+            coords, valid, spec, cfg)
+        assert int(sp.set_count) == ref_count
+        np.testing.assert_array_equal(
+            np.asarray(sp.inds)[:, :ref_count], ref_inds[:, :ref_count])
+        np.testing.assert_array_equal(
+            np.asarray(sp.key_mask)[:ref_count], ref_mask[:ref_count])
+
+
+def test_canonical_inverse(tiny_cfg, rng):
+    """Every valid pillar's canonical slot must point back at itself."""
+    cfg = tiny_cfg
+    vox = _parts(cfg, rng)
+    valid = np.asarray(vox.pillar_valid)
+    K = cfg.set_size
+    for spec in cfg.window_specs:
+        wp = window_partition(vox.coords, vox.pillar_valid, spec, cfg)
+        sp = set_partition(wp, vox.pillar_valid, spec, cfg)
+        inds = np.asarray(sp.inds)
+        canon = np.asarray(sp.canon)
+        for axis in range(2):
+            flat = inds[axis].reshape(-1)
+            for p in np.nonzero(valid)[0]:
+                c = canon[axis, p]
+                assert c < cfg.max_sets * K, f"pillar {p} unmapped"
+                assert flat[c] == p, (axis, p, c, flat[c])
+
+
+def test_mask_marks_first_occurrence_unmasked(tiny_cfg, rng):
+    cfg = tiny_cfg
+    vox = _parts(cfg, rng)
+    for spec in cfg.window_specs:
+        wp = window_partition(vox.coords, vox.pillar_valid, spec, cfg)
+        sp = set_partition(wp, vox.pillar_valid, spec, cfg)
+        inds = np.asarray(sp.inds)
+        mask = np.asarray(sp.key_mask)
+        count = int(sp.set_count)
+        for s in range(count):
+            row = inds[0, s]
+            assert mask[s, 0] == 0.0
+            for k in range(1, cfg.set_size):
+                if row[k] == row[k - 1]:
+                    assert mask[s, k] < 0
+                else:
+                    assert mask[s, k] == 0.0
+
+
+def test_window_coords_shift(tiny_cfg):
+    """Shifted partition: coords offset by shift before division/modulo
+    (windowPartition.cu:292-298, 352-354)."""
+    cfg = tiny_cfg
+    spec = cfg.window_specs[1]  # 24x24 shift (6,6)
+    coords = np.array([[0, 0], [10, 20], [40, 40]], np.int32)
+    buf = np.zeros((cfg.max_pillars, 2), np.int32)
+    buf[:3] = coords
+    valid = np.zeros((cfg.max_pillars,), bool)
+    valid[:3] = True
+    wp = window_partition(buf, valid, spec, cfg)
+    nwx = cfg.sparse_shape[0] // 24 + 1
+    for i, (iy, ix) in enumerate(coords):
+        wx_id = (ix + 6) // 24
+        wy_id = (iy + 6) // 24
+        assert int(np.asarray(wp.win_id)[i]) == wy_id * nwx + wx_id
+        assert int(np.asarray(wp.inwin_xyz)[i, 0]) == (ix + 6) % 24
+        assert int(np.asarray(wp.inwin_xyz)[i, 1]) == (iy + 6) % 24
+        np.testing.assert_allclose(
+            np.asarray(wp.xy_centered)[i],
+            [(ix + 6) % 24 - 12.0, (iy + 6) % 24 - 12.0])
