@@ -49,16 +49,19 @@ def main():
     frames = [load_bin(p, cfg.max_points) for p in paths]
     frames = [(jax.device_put(p), jax.device_put(n)) for p, n in frames]
 
-    # compile + warm
+    # compile + warm.  NOTE: block_until_ready can return optimistically on
+    # the tunneled axon platform, so sync via an actual host readback.
     engine.warmup()
     for pts, n in frames:
-        jax.block_until_ready(engine(pts, n))
+        np.asarray(engine(pts, n).count)
 
     iters = int(os.environ.get("DSVT_BENCH_ITERS", "5"))
     t0 = time.perf_counter()
     for _ in range(iters):
-        outs = [engine(pts, n) for pts, n in frames]
-        jax.block_until_ready(outs)
+        for pts, n in frames:
+            dets = engine(pts, n)
+            np.asarray(dets.boxes)
+            np.asarray(dets.count)
     dt = time.perf_counter() - t0
     ms = dt / (iters * len(frames)) * 1e3
 

@@ -70,13 +70,14 @@ def benchmark(engine: Engine, paths: List[str], iters: int = 3) -> dict:
     staged = [load_bin(p, cfg.max_points) for p in paths]
     staged = [(jax.device_put(p), n) for p, n in staged]
     engine.warmup()
-    # one pass to compile/warm every shape
+    # one pass to compile/warm every shape (sync via readback: see bench.py)
     for pts, n in staged:
-        jax.block_until_ready(engine(pts, n))
+        np.asarray(engine(pts, n).count)
     t0 = time.perf_counter()
     for _ in range(iters):
-        outs = [engine(pts, n) for pts, n in staged]
-        jax.block_until_ready(outs)
+        for pts, n in staged:
+            dets = engine(pts, n)
+            np.asarray(dets.boxes)
     dt = time.perf_counter() - t0
     ms = dt / (iters * len(staged)) * 1e3
     return {"ms_per_frame": ms, "frames": len(staged), "iters": iters}
