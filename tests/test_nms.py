@@ -69,3 +69,15 @@ def test_nms_matches_oracle(rng):
     mine_sorted = kept[np.lexsort(kept.T)]
     ref_sorted = ref_boxes[np.lexsort(ref_boxes.T)]
     np.testing.assert_allclose(mine_sorted, ref_sorted, atol=1e-6)
+
+
+def test_clip_overlap_matches_reference_algorithm(rng):
+    from dsvt_ai_trt_tpu.ops.nms import pairwise_overlap_clip
+    n = 32
+    boxes = _random_boxes(rng, n)
+    for c in range(0, n - 4, 5):
+        boxes[c + 1:c + 4, :2] = boxes[c, :2] + rng.uniform(-0.6, 0.6, (3, 2))
+        boxes[c + 1, 6] = boxes[c, 6] + 0.3
+    ref = np.asarray(pairwise_rotated_overlap(jnp.asarray(boxes)))
+    fast = np.asarray(pairwise_overlap_clip(jnp.asarray(boxes)))
+    np.testing.assert_allclose(fast, ref, atol=5e-3, rtol=1e-3)
