@@ -133,7 +133,7 @@ def main(argv=None):
     def common(p, data=False):
         p.add_argument("--weights", default="dsvt.wts")
         p.add_argument("--config", default=None, help="DSVTConfig json")
-        p.add_argument("--precision", choices=["fp32", "bf16"], default=None)
+        p.add_argument("--precision", choices=["fp32", "mixed", "bf16"], default=None)
         p.add_argument("--parity-atan", action="store_true")
         p.add_argument("--engine", default=None)
         p.add_argument("--host-nms", action="store_true",

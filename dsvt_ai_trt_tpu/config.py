@@ -90,8 +90,9 @@ class DSVTConfig:
     parity_atan: bool = False
 
     # ---- execution ----
-    # "fp32" = strict parity path; "bf16" = fast path (mirrors USE_FP16,
-    # params.h:332) applied to matmul/conv inputs with fp32 accumulation.
+    # "fp32" = strict parity (Precision.HIGHEST matmuls); "mixed" = fp32 data
+    # with bf16-input/fp32-accum matmuls (the TPU analogue of USE_FP16,
+    # params.h:332); "bf16" = bf16 activations end to end.
     precision: str = "fp32"
     use_pallas: bool = False           # fused Pallas kernels for hot ops
 

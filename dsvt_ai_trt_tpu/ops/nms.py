@@ -163,68 +163,108 @@ def pairwise_rotated_overlap(boxes: jax.Array) -> jax.Array:
     return jnp.where(cnt >= 3, area, 0.0)
 
 
+def _next_valid_index(valid: jax.Array) -> jax.Array:
+    """For each slot, the index of the next valid slot (cyclic).
+
+    valid: [..., V] bool.  Pure elementwise + cumulative ops (no sort,
+    no scatter) so it vectorizes over the leading pair dims.
+    """
+    V = valid.shape[-1]
+    big = jnp.int32(2 * V)
+    pos = jnp.where(valid, jax.lax.broadcasted_iota(jnp.int32, valid.shape,
+                                                    valid.ndim - 1), big)
+    # suffix min of positions strictly after i
+    rev = jnp.flip(pos, axis=-1)
+    suffix = jnp.flip(jax.lax.cummin(rev, axis=rev.ndim - 1), axis=-1)
+    after = jnp.concatenate([suffix[..., 1:],
+                             jnp.full(suffix.shape[:-1] + (1,), big)], axis=-1)
+    first = jnp.min(pos, axis=-1, keepdims=True)
+    nxt = jnp.where(after < big, after, first)
+    return jnp.minimum(nxt, V - 1)
+
+
 def pairwise_overlap_clip(boxes: jax.Array) -> jax.Array:
     """Exact pairwise intersection area via vectorized Sutherland–Hodgman.
 
     Mathematically identical to pairwise_rotated_overlap (both compute the
-    exact convex intersection) but sort-free: four half-plane clip passes
-    over a fixed 12-slot vertex buffer instead of a 24-way angular argsort
-    per pair, which is ~10x faster on TPU.  Used by nms(); the
-    reference-shaped algorithm above is kept for parity testing.
+    exact convex intersection) but built from elementwise ops, cumulative
+    mins and gathers only — no angular argsort, no scatters (both are slow
+    on TPU at [N^2, V] scale).  The vertex buffer doubles each clip pass
+    (4 -> 64 slots) with a validity mask instead of compaction; traversal
+    order is preserved because emitted slots keep their source order.
+
+    Layout note: x and y live in separate [V, N, N] arrays.  A trailing
+    coordinate dim of 2 would be lane-padded to 128 by the TPU tiler (a 64x
+    memory blowup measured as ~500 ms); with N as the minor dims the tiles
+    are dense and the whole clip is VPU-bound.
     """
     n = boxes.shape[0]
-    V = 12  # intersection of two quads has <= 8 vertices
     corners = box_corners(boxes)                                  # [N, 4, 2]
+    cax = jnp.transpose(corners[..., 0])                          # [4, N]
+    cay = jnp.transpose(corners[..., 1])
 
-    # polygon buffer: subject = box_a corners, clip = box_b edges
-    poly = jnp.zeros((n, n, V, 2), jnp.float32)
-    poly = poly.at[:, :, :4, :].set(corners[:, None, :, :])
-    cnt = jnp.full((n, n), 4, jnp.int32)
+    poly_x = jnp.broadcast_to(cax[:, :, None], (4, n, n))        # subject: box_a
+    poly_y = jnp.broadcast_to(cay[:, :, None], (4, n, n))
+    valid = jnp.ones((4, n, n), bool)
 
-    clip_pts = jnp.broadcast_to(corners[None, :, :, :], (n, n, 4, 2))
-    slot = jnp.arange(V, dtype=jnp.int32)
+    def next_valid(vx, vy, valid):
+        """(x, y) of the next valid slot after each slot, cyclic.
+
+        Backward-fill via associative scan — log2(V) elementwise select
+        passes, no gather (axis-0 gathers at [V, N, N] scale are slow on
+        TPU; a measured take_along_axis here cost ~500 ms).
+        """
+        def combine(a, b):
+            # prefix scan over flipped axis: keep the latest valid triple
+            ax_, ay_, af = a
+            bx_, by_, bf = b
+            return (jnp.where(bf, bx_, ax_), jnp.where(bf, by_, ay_), af | bf)
+
+        fx, fy, ff = jax.lax.associative_scan(
+            combine, (jnp.flip(vx, 0), jnp.flip(vy, 0), jnp.flip(valid, 0)),
+            axis=0)
+        fill_x, fill_y, fill_f = jnp.flip(fx, 0), jnp.flip(fy, 0), jnp.flip(ff, 0)
+        # fill_*[i] = value at the first valid slot >= i; nxt[i] = fill[i+1],
+        # wrapping to the overall first valid slot
+        first_x, first_y = fill_x[0], fill_y[0]
+        nxt_x = jnp.concatenate([fill_x[1:], fill_x[:1]], 0)
+        nxt_y = jnp.concatenate([fill_y[1:], fill_y[:1]], 0)
+        has_after = jnp.concatenate([fill_f[1:], jnp.zeros_like(fill_f[:1])], 0)
+        nxt_x = jnp.where(has_after, nxt_x, first_x[None])
+        nxt_y = jnp.where(has_after, nxt_y, first_y[None])
+        return nxt_x, nxt_y
 
     for e in range(4):
-        a = clip_pts[:, :, e, :]                                  # [N,N,2]
-        b = clip_pts[:, :, (e + 1) % 4, :]
-        ex = (b[..., 0] - a[..., 0])[..., None]                   # [N,N,1]
-        ey = (b[..., 1] - a[..., 1])[..., None]
+        ax = cax[e][None, :]                                      # clip: box_b
+        ay = cay[e][None, :]
+        bx = cax[(e + 1) % 4][None, :]
+        by = cay[(e + 1) % 4][None, :]
+        ex = (bx - ax)[None]                                      # [1, 1, N]... broadcast over rows
+        ey = (by - ay)[None]
+        axx = ax[None]
+        ayy = ay[None]
 
-        live = slot[None, None, :] < cnt[..., None]               # [N,N,V]
-        nxt_idx = jnp.where(slot[None, None, :] + 1 < cnt[..., None],
-                            slot[None, None, :] + 1, 0)
-        cur = poly
-        nxt = jnp.take_along_axis(poly, nxt_idx[..., None], axis=2)
+        nxt_x, nxt_y = next_valid(poly_x, poly_y, valid)
 
-        d_cur = ex * (cur[..., 1] - a[..., 1:2]) - ey * (cur[..., 0] - a[..., 0:1])
-        d_nxt = ex * (nxt[..., 1] - a[..., 1:2]) - ey * (nxt[..., 0] - a[..., 0:1])
-        inside_cur = (d_cur >= 0) & live
-        crossing = ((d_cur >= 0) != (d_nxt >= 0)) & live
+        d_cur = ex * (poly_y - ayy) - ey * (poly_x - axx)
+        d_nxt = ex * (nxt_y - ayy) - ey * (nxt_x - axx)
+        inside_cur = (d_cur >= 0) & valid
+        crossing = ((d_cur >= 0) != (d_nxt >= 0)) & valid
         t = d_cur / jnp.where(crossing, d_cur - d_nxt, 1.0)
-        inter = cur + t[..., None] * (nxt - cur)
+        inter_x = poly_x + t * (nxt_x - poly_x)
+        inter_y = poly_y + t * (nxt_y - poly_y)
 
-        # each live slot emits up to 2 vertices: cur (if inside), then inter
-        emit0 = inside_cur
-        emit1 = crossing
-        counts01 = emit0.astype(jnp.int32) + emit1.astype(jnp.int32)
-        base = jnp.cumsum(counts01, axis=2) - counts01            # excl. cumsum
-        new_cnt = jnp.sum(counts01, axis=2)
+        # slot i emits to fixed positions 2i (cur) and 2i+1 (intersection);
+        # interleaving preserves traversal order, holes carry valid=False
+        V = poly_x.shape[0]
+        poly_x = jnp.stack([poly_x, inter_x], axis=1).reshape(2 * V, n, n)
+        poly_y = jnp.stack([poly_y, inter_y], axis=1).reshape(2 * V, n, n)
+        valid = jnp.stack([inside_cur, crossing], axis=1).reshape(2 * V, n, n)
 
-        out = jnp.zeros((n, n, V, 2), jnp.float32)
-        rows = jnp.broadcast_to(jnp.arange(n)[:, None, None], (n, n, V))
-        cols = jnp.broadcast_to(jnp.arange(n)[None, :, None], (n, n, V))
-        idx0 = jnp.where(emit0, base, V)                          # V -> dropped
-        out = out.at[rows, cols, idx0].set(cur, mode="drop")
-        idx1 = jnp.where(emit1, base + emit0.astype(jnp.int32), V)
-        out = out.at[rows, cols, idx1].set(inter, mode="drop")
-        poly, cnt = out, new_cnt
-
-    live = slot[None, None, :] < cnt[..., None]
-    nxt_idx = jnp.where(slot[None, None, :] + 1 < cnt[..., None],
-                        slot[None, None, :] + 1, 0)
-    nxt = jnp.take_along_axis(poly, nxt_idx[..., None], axis=2)
-    terms = (poly[..., 0] * nxt[..., 1] - nxt[..., 0] * poly[..., 1])
-    area = jnp.abs(jnp.sum(jnp.where(live, terms, 0.0), axis=2)) / 2.0
+    nxt_x, nxt_y = next_valid(poly_x, poly_y, valid)
+    terms = poly_x * nxt_y - nxt_x * poly_y
+    area = jnp.abs(jnp.sum(jnp.where(valid, terms, 0.0), axis=0)) / 2.0
+    cnt = jnp.sum(valid, axis=0)
     return jnp.where(cnt >= 3, area, 0.0)
 
 
@@ -244,14 +284,26 @@ def nms(boxes: jax.Array, count: jax.Array, iou_threshold: float,
     iou = overlap / union
 
     idx = jnp.arange(K)
-    sup_mask = iou >= iou_threshold
+    # greedy suppression, exact, in chunked Gauss-Seidel form: the score
+    # order is processed in chunks of C; suppression *by the finalized
+    # prefix* is one dense [K, C] reduction, and the in-chunk recurrence is
+    # a statically-unrolled C-step scan on a [C, C] tile.  K/C loop
+    # iterations total (vs K for the naive sequential loop).
+    sup_mask = (iou >= iou_threshold) & (idx[:, None] < idx[None, :]) & valid[:, None]
+    C = next(c for c in range(min(64, K), 0, -1) if K % c == 0)
 
-    def body(i, suppressed):
-        active = valid[i] & ~suppressed[i]
-        return suppressed | (active & sup_mask[i] & (idx > i))
+    def chunk_body(c, alive):
+        start = c * C
+        cols = jax.lax.dynamic_slice(sup_mask, (0, start), (K, C))   # [K, C]
+        prefix = idx < start
+        pre_sup = jnp.any(cols & (alive & prefix)[:, None], axis=0)  # [C]
+        sub = jax.lax.dynamic_slice(sup_mask, (start, start), (C, C))
+        a = jax.lax.dynamic_slice(valid, (start,), (C,)) & ~pre_sup
+        for r in range(1, C):  # static unroll: in-chunk recurrence
+            a = a.at[r].set(a[r] & ~jnp.any(a[:r] & sub[:r, r]))
+        return jax.lax.dynamic_update_slice(alive, a, (start,))
 
-    suppressed = jax.lax.fori_loop(0, K, body, jnp.zeros((K,), bool))
-    keep = valid & ~suppressed
+    keep = jax.lax.fori_loop(0, K // C, chunk_body, valid)
     order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
     kept = jnp.where(keep[order][:, None], boxes[order], 0.0)
     return kept, jnp.sum(keep.astype(jnp.int32))
