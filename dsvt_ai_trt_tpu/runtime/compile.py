@@ -40,10 +40,23 @@ def _abstract_inputs(cfg: DSVTConfig):
     return points, num
 
 
+def _register_serializable_types() -> None:
+    from jax import export
+    from ..ops.postprocess import Detections
+
+    try:
+        export.register_namedtuple_serialization(
+            Detections, serialized_name="dsvt_tpu.Detections")
+    except ValueError:
+        pass  # already registered
+
+
 def build_engine(params, cfg: DSVTConfig, path: Optional[str] = None,
                  with_nms: bool = True) -> bytes:
     """AOT-compile the full forward pass and serialize it (the -s path)."""
     from jax import export
+
+    _register_serializable_types()
 
     fn = jax.jit(functools.partial(forward, cfg=cfg, with_nms=with_nms))
     points, num = _abstract_inputs(cfg)
@@ -61,6 +74,7 @@ def load_engine(path_or_blob) -> "jax.export.Exported":
     """Deserialize a built engine (the -d path)."""
     from jax import export
 
+    _register_serializable_types()
     blob = path_or_blob
     if isinstance(path_or_blob, str):
         with open(path_or_blob, "rb") as f:

@@ -1,0 +1,70 @@
+import os
+
+import numpy as np
+import pytest
+
+from dsvt_ai_trt_tpu import weights
+from dsvt_ai_trt_tpu.runtime.compile import Engine, build_engine, load_engine
+from dsvt_ai_trt_tpu.runtime.infer import run_frames
+from dsvt_ai_trt_tpu.io.output import load_txt
+
+from conftest import make_cloud
+
+
+def _write_frames(tmp_path, rng, cfg, k=2):
+    paths = []
+    for i in range(k):
+        pts, n = make_cloud(rng, cfg, 500 + 100 * i)
+        path = str(tmp_path / f"{i:06d}.bin")
+        pts[: int(n)].astype(np.float32).tofile(path)
+        paths.append(path)
+    return paths
+
+
+def test_engine_serialization_roundtrip(tiny_cfg, rng, tmp_path):
+    """The -s / -d split: serialized engine == jit path, bit for bit."""
+    cfg = tiny_cfg
+    params = weights.random_params(cfg, seed=4)
+    pts, n = make_cloud(rng, cfg, 700)
+
+    blob = build_engine(params, cfg, str(tmp_path / "t.engine"), with_nms=True)
+    exported = load_engine(str(tmp_path / "t.engine"))
+    import jax.numpy as jnp
+    d1 = exported.call(params, jnp.asarray(pts), jnp.int32(n))
+    engine = Engine(params, cfg, with_nms=True)
+    d2 = engine(pts, n)
+    assert int(d1.count) == int(d2.count)
+    np.testing.assert_allclose(np.asarray(d1.boxes), np.asarray(d2.boxes),
+                               atol=1e-5)
+    assert len(blob) > 1000
+
+
+def test_run_frames_writes_reference_format(tiny_cfg, rng, tmp_path):
+    cfg = tiny_cfg
+    params = weights.random_params(cfg, seed=4)
+    engine = Engine(params, cfg, with_nms=True).warmup()
+    paths = _write_frames(tmp_path, rng, cfg)
+    out_dir = str(tmp_path / "outputs")
+    results = run_frames(engine, paths, out_dir)
+    assert len(results) == 2
+    for r in results:
+        txt = os.path.join(out_dir, r["frame"] + ".txt")
+        assert os.path.exists(txt)
+        seconds, boxes = load_txt(txt)
+        assert seconds > 0
+        assert len(boxes) == r["count"]
+
+
+def test_run_frames_host_nms_matches_device_counts(tiny_cfg, rng, tmp_path):
+    """Device NMS and host NMS must agree on the kept box set."""
+    cfg = tiny_cfg
+    params = weights.random_params(cfg, seed=4)
+    paths = _write_frames(tmp_path, rng, cfg, k=1)
+
+    dev = run_frames(Engine(params, cfg, with_nms=True).warmup(), paths)
+    host = run_frames(Engine(params, cfg, with_nms=False).warmup(), paths,
+                      host_nms=True)
+    assert dev[0]["count"] == host[0]["count"]
+    a = dev[0]["boxes"][np.lexsort(dev[0]["boxes"].T)]
+    b = host[0]["boxes"][np.lexsort(host[0]["boxes"].T)]
+    np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
