@@ -1,0 +1,131 @@
+"""Pallas TPU kernel for the pairwise rotated-rectangle overlap matrix.
+
+The XLA formulation (ops/nms.py:pairwise_overlap_clip) materializes
+[V, N, N] vertex planes in HBM between clip passes (~60 MB of traffic per
+pass).  This kernel runs the whole Sutherland–Hodgman pipeline per [TA, TB]
+pair tile in VMEM/registers: the vertex slots are a fully unrolled Python
+list of [TA, TB] vectors, so nothing round-trips to HBM until the final
+area tile is written.  Same math, same results.
+
+Grid: (N/TA, N/TB).  Inputs are the per-box corner planes as [4, N] arrays
+(x and y separately — see the layout note in ops/nms.py) plus nothing else;
+output is the [N, N] intersection-area matrix.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .nms import box_corners
+
+TA = 8     # a-boxes per tile (sublanes)
+TB = 128   # b-boxes per tile (lanes)
+
+
+def _overlap_kernel(ax_ref, ay_ref, bx_ref, by_ref, out_ref):
+    # corner planes arrive whole ([4, Npad], a few KB); slice our tile here
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ax = [ax_ref[e, pl.ds(i * TA, TA)][:, None] for e in range(4)]  # [TA, 1]
+    ay = [ay_ref[e, pl.ds(i * TA, TA)][:, None] for e in range(4)]
+    bx = [bx_ref[e, pl.ds(j * TB, TB)][None, :] for e in range(4)]  # [1, TB]
+    by = [by_ref[e, pl.ds(j * TB, TB)][None, :] for e in range(4)]
+
+    # subject polygon = a corners, broadcast to [TA, TB] tiles per slot
+    zeros = jnp.zeros((TA, TB), jnp.float32)
+    poly_x = [ax[e] + zeros for e in range(4)]
+    poly_y = [ay[e] + zeros for e in range(4)]
+    valid = [jnp.ones((TA, TB), bool) for _ in range(4)]
+
+    def next_valid(px, py, flags):
+        """(x, y) of the next valid slot per position (cyclic), unrolled
+        backward fill over the static slot list."""
+        V = len(px)
+        # fill[i] = first valid value at slot >= i
+        fill_x = [None] * V
+        fill_y = [None] * V
+        fill_f = [None] * V
+        fill_x[V - 1], fill_y[V - 1], fill_f[V - 1] = px[V - 1], py[V - 1], flags[V - 1]
+        for i in range(V - 2, -1, -1):
+            fill_x[i] = jnp.where(flags[i], px[i], fill_x[i + 1])
+            fill_y[i] = jnp.where(flags[i], py[i], fill_y[i + 1])
+            fill_f[i] = flags[i] | fill_f[i + 1]
+        nxt_x, nxt_y = [], []
+        for i in range(V):
+            if i + 1 < V:
+                nxt_x.append(jnp.where(fill_f[i + 1], fill_x[i + 1], fill_x[0]))
+                nxt_y.append(jnp.where(fill_f[i + 1], fill_y[i + 1], fill_y[0]))
+            else:
+                nxt_x.append(fill_x[0])
+                nxt_y.append(fill_y[0])
+        return nxt_x, nxt_y
+
+    for e in range(4):
+        cax, cay = bx[e], by[e]
+        cbx, cby = bx[(e + 1) % 4], by[(e + 1) % 4]
+        ex = cbx - cax
+        ey = cby - cay
+
+        nxt_x, nxt_y = next_valid(poly_x, poly_y, valid)
+        V = len(poly_x)
+        new_x, new_y, new_f = [], [], []
+        for i in range(V):
+            d_cur = ex * (poly_y[i] - cay) - ey * (poly_x[i] - cax)
+            d_nxt = ex * (nxt_y[i] - cay) - ey * (nxt_x[i] - cax)
+            inside = (d_cur >= 0) & valid[i]
+            crossing = ((d_cur >= 0) != (d_nxt >= 0)) & valid[i]
+            t = d_cur / jnp.where(crossing, d_cur - d_nxt, 1.0)
+            new_x.append(poly_x[i])
+            new_y.append(poly_y[i])
+            new_f.append(inside)
+            new_x.append(poly_x[i] + t * (nxt_x[i] - poly_x[i]))
+            new_y.append(poly_y[i] + t * (nxt_y[i] - poly_y[i]))
+            new_f.append(crossing)
+        poly_x, poly_y, valid = new_x, new_y, new_f
+
+    nxt_x, nxt_y = next_valid(poly_x, poly_y, valid)
+    area = jnp.zeros((TA, TB), jnp.float32)
+    cnt = jnp.zeros((TA, TB), jnp.int32)
+    for i in range(len(poly_x)):
+        term = poly_x[i] * nxt_y[i] - nxt_x[i] * poly_y[i]
+        area = area + jnp.where(valid[i], term, 0.0)
+        cnt = cnt + valid[i].astype(jnp.int32)
+    area = jnp.abs(area) * 0.5
+    out_ref[:, :] = jnp.where(cnt >= 3, area, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pairwise_overlap_pallas(boxes: jax.Array, interpret: bool = False) -> jax.Array:
+    """[N, 9] score-sorted boxes -> [N, N] exact intersection areas."""
+    n = boxes.shape[0]
+    pad_a = (-n) % TA
+    pad_b = (-n) % TB
+    corners = box_corners(boxes)                       # [N, 4, 2]
+    cx = jnp.transpose(corners[..., 0])                # [4, N]
+    cy = jnp.transpose(corners[..., 1])
+    cx_a = jnp.pad(cx, ((0, 0), (0, pad_a)))
+    cy_a = jnp.pad(cy, ((0, 0), (0, pad_a)))
+    cx_b = jnp.pad(cx, ((0, 0), (0, pad_b)))
+    cy_b = jnp.pad(cy, ((0, 0), (0, pad_b)))
+    na, nb = n + pad_a, n + pad_b  # corner planes stay whole in VMEM
+
+    out = pl.pallas_call(
+        _overlap_kernel,
+        grid=(na // TA, nb // TB),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TA, TB), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((na, nb), jnp.float32),
+        interpret=interpret,
+    )(cx_a, cy_a, cx_b, cy_b)
+    return out[:n, :n]

@@ -37,10 +37,18 @@ def run_frames(engine: Engine, paths: List[str], out_dir: Optional[str] = None,
         os.makedirs(out_dir, exist_ok=True)
     results = []
 
-    # pre-stage first frame
+    # pre-stage frames; a corrupt frame is skipped and flagged rather than
+    # aborting the run (the reference exit(-1)s, helper.h:46-52)
     staged = []
     for p in paths:
-        pts, n = load_bin(p, cfg.max_points)
+        try:
+            pts, n = load_bin(p, cfg.max_points)
+        except (IOError, ValueError) as exc:
+            log.error("skipping bad frame %s: %s", p, exc)
+            results_bad = {"frame": os.path.splitext(os.path.basename(p))[0],
+                           "error": str(exc)}
+            results.append(results_bad)
+            continue
         staged.append((p, pts, n))
 
     for path, pts, n in staged:

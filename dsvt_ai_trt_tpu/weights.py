@@ -146,6 +146,19 @@ def random_raw(cfg: DSVTConfig, seed: int = 0, scale: float = 0.05) -> Raw:
                 raw[name] = rng.normal(0, scale, shape).astype(np.float32)
         else:
             raw[name] = rng.normal(0.0, scale, shape).astype(np.float32)
+
+    # Make the synthetic checkpoint produce *realistic* detections instead of
+    # exp-overflowed garbage: tame the head's final convs and set biases so
+    # heatmap scores sit around the 0.3 threshold and dims decode to a few
+    # meters.  Without this, parity/NMS behavior on random weights is
+    # degenerate (dims ~ e^50).
+    head_bias = {"hm": -2.0, "dim": 0.3, "center": 0.2, "center_z": -0.5,
+                 "rot": 0.2, "iou": 0.0}
+    for branch, bias in head_bias.items():
+        wname = f"module.dense_head.heads_list.0.{branch}.1.weight"
+        bname = f"module.dense_head.heads_list.0.{branch}.1.bias"
+        raw[wname] = rng.normal(0, 0.02, raw[wname].shape).astype(np.float32)
+        raw[bname] = (bias + rng.normal(0, 0.1, raw[bname].shape)).astype(np.float32)
     return raw
 
 

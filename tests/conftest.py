@@ -49,8 +49,10 @@ def tiny_cfg() -> DSVTConfig:
     )
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test gets the same deterministic stream
+    # regardless of which other tests ran before it
     return np.random.default_rng(1234)
 
 

@@ -81,3 +81,15 @@ def test_clip_overlap_matches_reference_algorithm(rng):
     ref = np.asarray(pairwise_rotated_overlap(jnp.asarray(boxes)))
     fast = np.asarray(pairwise_overlap_clip(jnp.asarray(boxes)))
     np.testing.assert_allclose(fast, ref, atol=5e-3, rtol=1e-3)
+
+
+def test_pallas_overlap_matches_clip(rng):
+    from dsvt_ai_trt_tpu.ops.nms import pairwise_overlap_clip
+    from dsvt_ai_trt_tpu.ops.nms_pallas import pairwise_overlap_pallas
+    n = 48
+    boxes = _random_boxes(rng, n)
+    for c in range(0, n - 4, 5):
+        boxes[c + 1:c + 4, :2] = boxes[c, :2] + rng.uniform(-0.6, 0.6, (3, 2))
+    ref = np.asarray(pairwise_overlap_clip(jnp.asarray(boxes)))
+    got = np.asarray(pairwise_overlap_pallas(jnp.asarray(boxes), interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)

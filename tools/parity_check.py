@@ -1,0 +1,59 @@
+"""Cross-precision box parity check on the bundled frames.
+
+Validates the USE_FP16-style fast paths: boxes from precision=mixed/bf16
+must match the fp32 path within detection tolerance (IoU>=0.5 class-aware
+matching, eval.match_boxes).  Run on TPU:
+
+    PYTHONPATH=. python tools/parity_check.py [mixed|bf16]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from dsvt_ai_trt_tpu.config import DEFAULT_CONFIG  # noqa: E402
+from dsvt_ai_trt_tpu import weights  # noqa: E402
+from dsvt_ai_trt_tpu.eval import match_boxes  # noqa: E402
+from dsvt_ai_trt_tpu.io.pointcloud import load_bin, frame_paths  # noqa: E402
+from dsvt_ai_trt_tpu.model.detector import forward_jit  # noqa: E402
+from dsvt_ai_trt_tpu.runtime.compile import enable_persistent_cache  # noqa: E402
+
+
+def boxes_for(cfg, params, pts, n):
+    dets = forward_jit(params, pts, n, cfg, True)
+    return np.asarray(dets.boxes)[: int(dets.count)]
+
+
+def main():
+    fast = sys.argv[1] if len(sys.argv) > 1 else "mixed"
+    enable_persistent_cache()
+    cfg32 = DEFAULT_CONFIG
+    cfg_fast = dataclasses.replace(cfg32, precision=fast)
+    params = weights.random_params(cfg32, seed=0)
+
+    data = os.environ.get("DSVT_BENCH_DATA", "/root/reference/data/bin")
+    n_frames = int(os.environ.get("DSVT_PARITY_FRAMES", "3"))
+    worst = {"recall": 1.0, "precision": 1.0}
+    for path in frame_paths(data)[:n_frames]:
+        pts, n = load_bin(path, cfg32.max_points)
+        ref = boxes_for(cfg32, params, pts, n)
+        got = boxes_for(cfg_fast, params, pts, n)
+        stats = match_boxes(got, ref, iou_threshold=0.5)
+        stats["frame"] = os.path.basename(path)
+        print(json.dumps(stats))
+        worst["recall"] = min(worst["recall"], stats["recall"])
+        worst["precision"] = min(worst["precision"], stats["precision"])
+    ok = worst["recall"] >= 0.95 and worst["precision"] >= 0.95
+    print(json.dumps({"precision_mode": fast, "worst": worst, "parity_ok": ok}))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
