@@ -94,7 +94,7 @@ class DSVTConfig:
     # with bf16-input/fp32-accum matmuls (the TPU analogue of USE_FP16,
     # params.h:332); "bf16" = bf16 activations end to end.
     precision: str = "fp32"
-    use_pallas: bool = False           # fused Pallas kernels for hot ops
+    use_pallas: bool = True            # fused Pallas kernels on TPU (auto-off elsewhere)
 
     # ------------------------------------------------------------------
     @property
@@ -169,3 +169,14 @@ def head_branches(cfg: "DSVTConfig"):
 
 
 DEFAULT_CONFIG = DSVTConfig()
+
+# Waymo-scale point density (BASELINE config 5): ~180K points/frame, same
+# 0.32 m pillars and +/-74.88 m range as the upstream DSVT Waymo config.
+# Caps raised accordingly; use with spatial sharding for multi-chip frames.
+WAYMO_CONFIG = dataclasses.replace(
+    DSVTConfig(),
+    max_points=200000,
+    max_kept_points=160000,
+    max_pillars=32000,
+    max_sets=2400,
+)

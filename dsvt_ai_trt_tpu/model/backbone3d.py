@@ -34,6 +34,7 @@ from ..config import DSVTConfig
 from ..ops.attention import set_attention, layer_norm, ffn
 from ..ops.common import dot_precision
 from ..ops.windows import SetPartition, WindowPartition
+from ..parallel.spatial import constrain_rows
 
 
 def pos_embed_mlp(xy: jax.Array, mlp: dict, precision: str = "fp32") -> jax.Array:
@@ -85,13 +86,17 @@ def backbone3d_forward(pillar_feats: jax.Array,
         x_in = x
         for e in range(2):
             enc = params["blocks"][b]["enc"][e]
-            attn = set_attention(_with_dump_row(x), pos[b][e], sp.inds[e],
-                                 sp.key_mask, enc, cfg.num_heads, precision)
-            attn_p = _scatter_back(attn, sp.canon[e])
+            attn = set_attention(_with_dump_row(x), pos[b][e],
+                                 constrain_rows(sp.inds[e]),
+                                 constrain_rows(sp.key_mask), enc,
+                                 cfg.num_heads, precision)
+            attn_p = _scatter_back(constrain_rows(attn), sp.canon[e])
+            attn_p = constrain_rows(attn_p)
             x1 = layer_norm(x + attn_p, enc["ln1_g"], enc["ln1_b"], eps)
             x2 = layer_norm(x1 + ffn(x1, enc, precision),
                             enc["ln2_g"], enc["ln2_b"], eps)
             x = layer_norm(x2 + x, enc["norm_g"], enc["norm_b"], eps)
         x = layer_norm(x + x_in, params["blocks"][b]["res_g"],
                        params["blocks"][b]["res_b"], eps)
+        x = constrain_rows(x)
     return x

@@ -50,7 +50,9 @@ def forward(params: Dict, points: jax.Array, num_points: jax.Array,
     head_out = head_forward(bev, params["head"], precision)
     dets = decode_and_filter(head_out, cfg)
     if with_nms:
-        boxes, count = nms_ops.nms(dets.boxes, dets.count, cfg.nms_threshold)
+        boxes, count = nms_ops.nms(
+            dets.boxes, dets.count, cfg.nms_threshold,
+            use_pallas=None if cfg.use_pallas else False)
         dets = Detections(boxes=boxes, count=count)
     return dets
 

@@ -7,9 +7,11 @@ pair tile in VMEM/registers: the vertex slots are a fully unrolled Python
 list of [TA, TB] vectors, so nothing round-trips to HBM until the final
 area tile is written.  Same math, same results.
 
-Grid: (N/TA, N/TB).  Inputs are the per-box corner planes as [4, N] arrays
-(x and y separately — see the layout note in ops/nms.py) plus nothing else;
-output is the [N, N] intersection-area matrix.
+Layout: the row (a) boxes' corners arrive as an [Na, 128] array with
+corner x in columns 0..3 and corner y in columns 4..7 (lane-aligned blocks
+of (TA, 128)); the column (b) boxes' corners as an [8, Nb] array (bx rows
+0..3, by rows 4..7, blocks of (8, TB)).  Dynamic lane slicing is avoided
+entirely — it crashes the Mosaic lowering.
 """
 
 from __future__ import annotations
@@ -27,16 +29,12 @@ TA = 8     # a-boxes per tile (sublanes)
 TB = 128   # b-boxes per tile (lanes)
 
 
-def _overlap_kernel(ax_ref, ay_ref, bx_ref, by_ref, out_ref):
-    # corner planes arrive whole ([4, Npad], a few KB); slice our tile here
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    ax = [ax_ref[e, pl.ds(i * TA, TA)][:, None] for e in range(4)]  # [TA, 1]
-    ay = [ay_ref[e, pl.ds(i * TA, TA)][:, None] for e in range(4)]
-    bx = [bx_ref[e, pl.ds(j * TB, TB)][None, :] for e in range(4)]  # [1, TB]
-    by = [by_ref[e, pl.ds(j * TB, TB)][None, :] for e in range(4)]
+def _overlap_kernel(a_ref, b_ref, out_ref):
+    ax = [a_ref[:, e][:, None] for e in range(4)]        # each [TA, 1]
+    ay = [a_ref[:, 4 + e][:, None] for e in range(4)]
+    bx = [b_ref[e, :][None, :] for e in range(4)]        # each [1, TB]
+    by = [b_ref[4 + e, :][None, :] for e in range(4)]
 
-    # subject polygon = a corners, broadcast to [TA, TB] tiles per slot
     zeros = jnp.zeros((TA, TB), jnp.float32)
     poly_x = [ax[e] + zeros for e in range(4)]
     poly_y = [ay[e] + zeros for e in range(4)]
@@ -46,7 +44,6 @@ def _overlap_kernel(ax_ref, ay_ref, bx_ref, by_ref, out_ref):
         """(x, y) of the next valid slot per position (cyclic), unrolled
         backward fill over the static slot list."""
         V = len(px)
-        # fill[i] = first valid value at slot >= i
         fill_x = [None] * V
         fill_y = [None] * V
         fill_f = [None] * V
@@ -106,26 +103,25 @@ def pairwise_overlap_pallas(boxes: jax.Array, interpret: bool = False) -> jax.Ar
     pad_a = (-n) % TA
     pad_b = (-n) % TB
     corners = box_corners(boxes)                       # [N, 4, 2]
-    cx = jnp.transpose(corners[..., 0])                # [4, N]
-    cy = jnp.transpose(corners[..., 1])
-    cx_a = jnp.pad(cx, ((0, 0), (0, pad_a)))
-    cy_a = jnp.pad(cy, ((0, 0), (0, pad_a)))
-    cx_b = jnp.pad(cx, ((0, 0), (0, pad_b)))
-    cy_b = jnp.pad(cy, ((0, 0), (0, pad_b)))
-    na, nb = n + pad_a, n + pad_b  # corner planes stay whole in VMEM
+    # a-side: [Na, 8] -> padded to [Na, 128] lanes (cols 0..3 x, 4..7 y)
+    a_pack = jnp.concatenate([corners[..., 0], corners[..., 1]], axis=-1)
+    a_pack = jnp.pad(a_pack, ((0, pad_a), (0, 128 - 8)))
+    # b-side: [8, Nb] (rows 0..3 bx, rows 4..7 by)
+    b_pack = jnp.concatenate(
+        [jnp.transpose(corners[..., 0]), jnp.transpose(corners[..., 1])], axis=0)
+    b_pack = jnp.pad(b_pack, ((0, 0), (0, pad_b)))
+    na, nb = n + pad_a, n + pad_b
 
     out = pl.pallas_call(
         _overlap_kernel,
         grid=(na // TA, nb // TB),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((TA, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TB), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TA, TB), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((na, nb), jnp.float32),
         interpret=interpret,
-    )(cx_a, cy_a, cx_b, cy_b)
+    )(a_pack, b_pack)
     return out[:n, :n]
