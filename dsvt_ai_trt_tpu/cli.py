@@ -100,6 +100,33 @@ def cmd_convert(args):
     print(f"wrote {len(raw)} tensors to {args.out}")
 
 
+def cmd_eval(args):
+    """Compare two output directories box-by-box (order-insensitive)."""
+    from .io.output import load_txt
+    from .eval import match_boxes
+    import glob
+    ref_files = {os.path.basename(p): p
+                 for p in glob.glob(os.path.join(args.ref, "*.txt"))}
+    agg = {"frames": 0, "matched": 0, "pred": 0, "ref": 0}
+    for pred_path in sorted(glob.glob(os.path.join(args.pred, "*.txt"))):
+        name = os.path.basename(pred_path)
+        if name not in ref_files:
+            continue
+        _, pred = load_txt(pred_path)
+        _, ref = load_txt(ref_files[name])
+        # txt rows are (x,y,z,l,w,h,rt,id,score) == box layout
+        stats = match_boxes(pred, ref, iou_threshold=args.iou)
+        stats["frame"] = name
+        print(json.dumps(stats))
+        agg["frames"] += 1
+        agg["matched"] += stats["n_match"]
+        agg["pred"] += stats["n_pred"]
+        agg["ref"] += stats["n_ref"]
+    agg["precision"] = agg["matched"] / max(agg["pred"], 1)
+    agg["recall"] = agg["matched"] / max(agg["ref"], 1)
+    print(json.dumps(agg))
+
+
 def cmd_stats(args):
     """Occupancy vs the static caps — padding-headroom validation
     (SURVEY §5 metrics row)."""
@@ -164,6 +191,12 @@ def main(argv=None):
     p = sub.add_parser("stats", help="per-frame occupancy vs static caps")
     common(p, data=True)
     p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser("eval", help="order-insensitive box comparison of two output dirs")
+    p.add_argument("--pred", required=True)
+    p.add_argument("--ref", required=True)
+    p.add_argument("--iou", type=float, default=0.5)
+    p.set_defaults(fn=cmd_eval)
 
     args = ap.parse_args(argv)
     args.fn(args)
