@@ -145,7 +145,15 @@ def random_raw(cfg: DSVTConfig, seed: int = 0, scale: float = 0.05) -> Raw:
             else:
                 raw[name] = rng.normal(0, scale, shape).astype(np.float32)
         else:
-            raw[name] = rng.normal(0.0, scale, shape).astype(np.float32)
+            # He/fan-in scaling keeps activations O(1) through the 12-conv
+            # BEV stack (a fixed std amplifies ~2x per conv and saturates
+            # every head output)
+            if len(shape) >= 2:
+                fan_in = int(np.prod(shape[1:]))
+                std = float(np.sqrt(2.0 / fan_in))
+            else:
+                std = scale
+            raw[name] = rng.normal(0.0, std, shape).astype(np.float32)
 
     # Make the synthetic checkpoint produce *realistic* detections instead of
     # exp-overflowed garbage: tame the head's final convs and set biases so
