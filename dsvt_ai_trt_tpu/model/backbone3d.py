@@ -18,9 +18,17 @@ indices come from partition *b%2* — that is exactly what the reference does
 (embed_layer_0_{b}_{e} built from window_partition_{e}->getOutput(5),
 cpp:603-637, consumed at cpp:653/704/...).
 
-Scatter-back is a deterministic canonical-slot gather (see ops/windows.py)
-instead of the reference's last-writer-wins scatter
-(mapSetFeature2voxel.cu:258-275).
+TPU-native restructurings (exact algebra, no semantic change):
+  * Q/K/V and output projections run on the [P, C] pillar arrays instead of
+    the gathered [S*K, C] set layout — gathers commute with row-wise
+    linears and P is ~3x smaller than S*K.
+  * the pos-embed MLP's second linear folds into wq/wk per encoder:
+    (x + h1@w2 + b2)@wq = x@wq + h1@(w2@wq) + (b2@wq), so the positional
+    branch costs one matmul per projection instead of a separate embedding
+    pass plus a gathered add.
+  * scatter-back is a deterministic canonical-slot gather (ops/windows.py)
+    instead of the reference's last-writer-wins scatter
+    (mapSetFeature2voxel.cu:258-275).
 """
 
 from __future__ import annotations
@@ -31,22 +39,34 @@ import jax
 import jax.numpy as jnp
 
 from ..config import DSVTConfig
-from ..ops.attention import set_attention, layer_norm, ffn
+from ..ops.attention import set_attention_qkv, layer_norm, ffn
 from ..ops.common import dot_precision
 from ..ops.windows import SetPartition, WindowPartition
 from ..parallel.spatial import constrain_rows
 
 
-def pos_embed_mlp(xy: jax.Array, mlp: dict, precision: str = "fp32") -> jax.Array:
-    """linear(2->192)+BN1d(folded)+ReLU -> linear(192->192)
-    (fullyConnectedBnLELU_fullyConnected, cpp:461-492)."""
+def _dense(x, w, b, precision):
     dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    y = jnp.einsum("pc,cd->pd", x.astype(dt), w.astype(dt),
+                   preferred_element_type=jnp.float32,
+                   precision=dot_precision(precision))
+    return y if b is None else y + b
+
+
+def pos_embed_hidden(xy: jax.Array, mlp: dict, precision: str = "fp32") -> jax.Array:
+    """First half of the pos-embed MLP: linear(2->192)+BN1d(folded)+ReLU
+    (fullyConnectedBnLELU_fullyConnected, cpp:461-492).  The second linear
+    is folded into the attention projections."""
     prec = dot_precision(precision)
     h = jnp.einsum("pc,cd->pd", xy, mlp["w1"],
                    preferred_element_type=jnp.float32, precision=prec) + mlp["b1"]
-    h = jnp.maximum(h, 0.0)
-    return jnp.einsum("pc,cd->pd", h.astype(dt), mlp["w2"].astype(dt),
-                      preferred_element_type=jnp.float32, precision=prec) + mlp["b2"]
+    return jnp.maximum(h, 0.0)
+
+
+def pos_embed_mlp(xy: jax.Array, mlp: dict, precision: str = "fp32") -> jax.Array:
+    """Full pos-embed MLP (kept for tests/debug parity)."""
+    h = pos_embed_hidden(xy, mlp, precision)
+    return _dense(h, mlp["w2"], mlp["b2"], precision)
 
 
 def _with_dump_row(x: jax.Array) -> jax.Array:
@@ -69,16 +89,15 @@ def backbone3d_forward(pillar_feats: jax.Array,
     """pillar_feats: [P, 192] -> [P, 192] after 4 DSVT blocks."""
     eps = cfg.ln_eps
 
-    # pos-embeds per (block, pass): computed once up front like the reference
-    # (all 8 MLPs run before the blocks, cpp:603-637)
-    pos: List[List[jax.Array]] = []
+    # pos-embed hidden activations per (block, pass) — computed up front like
+    # the reference's 8 embed MLPs (cpp:603-637)
+    hidden: List[List[jax.Array]] = []
     for b in range(cfg.num_blocks):
         row = []
         for e in range(2):
-            emb = pos_embed_mlp(window_parts[e].xy_centered,
-                                params["posembed"][b][e], precision)
-            row.append(_with_dump_row(emb))
-        pos.append(row)
+            row.append(pos_embed_hidden(window_parts[e].xy_centered,
+                                        params["posembed"][b][e], precision))
+        hidden.append(row)
 
     x = pillar_feats
     for b in range(cfg.num_blocks):
@@ -86,12 +105,25 @@ def backbone3d_forward(pillar_feats: jax.Array,
         x_in = x
         for e in range(2):
             enc = params["blocks"][b]["enc"][e]
-            attn = set_attention(_with_dump_row(x), pos[b][e],
-                                 constrain_rows(sp.inds[e]),
-                                 constrain_rows(sp.key_mask), enc,
-                                 cfg.num_heads, precision)
+            mlp = params["posembed"][b][e]
+            h1 = hidden[b][e]
+
+            # fold pos-embed linear2 into the q/k projections (module doc)
+            q_p = (_dense(x, enc["wq"], None, precision)
+                   + _dense(h1, mlp["w2"] @ enc["wq"], None, precision)
+                   + (mlp["b2"] @ enc["wq"] + enc["bq"]))
+            k_p = (_dense(x, enc["wk"], None, precision)
+                   + _dense(h1, mlp["w2"] @ enc["wk"], None, precision)
+                   + (mlp["b2"] @ enc["wk"] + enc["bk"]))
+            v_p = _dense(x, enc["wv"], enc["bv"], precision)
+
+            attn = set_attention_qkv(
+                _with_dump_row(q_p), _with_dump_row(k_p), _with_dump_row(v_p),
+                constrain_rows(sp.inds[e]), constrain_rows(sp.key_mask),
+                cfg.num_heads, precision)
             attn_p = _scatter_back(constrain_rows(attn), sp.canon[e])
-            attn_p = constrain_rows(attn_p)
+            attn_p = _dense(constrain_rows(attn_p), enc["wo"], enc["bo"], precision)
+
             x1 = layer_norm(x + attn_p, enc["ln1_g"], enc["ln1_b"], eps)
             x2 = layer_norm(x1 + ffn(x1, enc, precision),
                             enc["ln2_g"], enc["ln2_b"], eps)

@@ -29,6 +29,37 @@ def _maybe_bf16(x: jax.Array, precision: str) -> jax.Array:
     return x.astype(jnp.bfloat16) if precision == "bf16" else x
 
 
+def set_attention_qkv(q_p: jax.Array, k_p: jax.Array, v_p: jax.Array,
+                      inds: jax.Array, key_mask: jax.Array, num_heads: int,
+                      precision: str = "fp32") -> jax.Array:
+    """Masked set attention over pre-projected pillar Q/K/V.
+
+    Projections run on the [P, C] pillar arrays (the gather commutes with
+    row-wise linears), so the per-set work is just two batched matmuls.
+    q_p/k_p/v_p: [P+1, C] with a zero dump row; inds: [S, K]; returns
+    [S, K, C] pre-out-projection attention output.
+    """
+    S, K = inds.shape
+    C = q_p.shape[-1]
+    H = num_heads
+    D = C // H
+    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    prec = dot_precision(precision)
+
+    q = q_p[inds].reshape(S, K, H, D)
+    k = k_p[inds].reshape(S, K, H, D)
+    v = v_p[inds].reshape(S, K, H, D)
+
+    scale = 1.0 / jnp.sqrt(jnp.float32(D))
+    logits = jnp.einsum("sqhd,skhd->shqk", (q * scale).astype(dt), k.astype(dt),
+                        preferred_element_type=jnp.float32, precision=prec)
+    logits = logits + key_mask[:, None, None, :]
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("shqk,skhd->sqhd", attn.astype(dt), v.astype(dt),
+                     preferred_element_type=jnp.float32, precision=prec)
+    return out.reshape(S, K, C)
+
+
 def set_attention(feats: jax.Array, pos: jax.Array, inds: jax.Array,
                   key_mask: jax.Array, enc: dict, num_heads: int,
                   precision: str = "fp32") -> jax.Array:
