@@ -89,3 +89,28 @@ def test_window_coords_shift(tiny_cfg):
         np.testing.assert_allclose(
             np.asarray(wp.xy_centered)[i],
             [(ix + 6) % 24 - 12.0, (iy + 6) % 24 - 12.0])
+
+
+def test_set_cap_overflow_graceful(tiny_cfg, rng):
+    """More sets than max_sets: the overflow is dropped deterministically
+    (the reference would overflow its [800,36] buffers unchecked); pillars
+    in dropped sets keep a well-defined canon dump slot."""
+    import dataclasses
+    cfg = dataclasses.replace(tiny_cfg, max_sets=8)
+    vox = _parts(cfg, rng, n=1500)
+    spec = cfg.window_specs[0]
+    wp = window_partition(vox.coords, vox.pillar_valid, spec, cfg)
+    sp = set_partition(wp, vox.pillar_valid, spec, cfg)
+    assert int(sp.set_count) == 8
+    inds = np.asarray(sp.inds)
+    canon = np.asarray(sp.canon)
+    K = cfg.set_size
+    valid = np.asarray(vox.pillar_valid)
+    for axis in range(2):
+        flat = inds[axis].reshape(-1)
+        for p in np.nonzero(valid)[0]:
+            c = canon[axis, p]
+            if c < cfg.max_sets * K:
+                assert flat[c] == p  # mapped pillars still invert correctly
+    # dropped sets' slots carry the dump index
+    assert (inds[:, 8:] == cfg.max_pillars).all()
