@@ -86,12 +86,13 @@ def main():
 
     batch_pts = jnp.stack([p for p, _ in frames])
     batch_n = jnp.stack([jnp.asarray(n) for _, n in frames])
-    run_b = jax.jit(functools.partial(forward_batch, cfg=cfg, with_nms=True))
-    dets = run_b(params, batch_pts, batch_n)
+    params_d = jax.device_put(params)
+    run_b = jax.jit(lambda bp, bn: forward_batch(params_d, bp, bn, cfg, True))
+    dets = run_b(batch_pts, batch_n)
     np.asarray(dets.boxes)
     t0 = time.perf_counter()
     for _ in range(iters):
-        dets = run_b(params, batch_pts, batch_n)
+        dets = run_b(batch_pts, batch_n)
         np.asarray(dets.boxes)
         np.asarray(dets.count)
     batch_ms = (time.perf_counter() - t0) / (iters * len(frames)) * 1e3

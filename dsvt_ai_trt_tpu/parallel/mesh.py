@@ -87,7 +87,7 @@ def make_dp_engine(params, cfg: DSVTConfig, mesh: Mesh, with_nms: bool = False):
 
     Returns fn(points [B, N, 4], num_points [B]) with B sharded over 'dp'.
     """
-    params = shard_params(params, mesh)
+    params_d = shard_params(params, mesh)  # captured: cheap dispatch
     data_sharding = NamedSharding(mesh, P("dp"))
 
     @functools.partial(
@@ -96,6 +96,6 @@ def make_dp_engine(params, cfg: DSVTConfig, mesh: Mesh, with_nms: bool = False):
         out_shardings=NamedSharding(mesh, P("dp")),
     )
     def run(points, num_points):
-        return batch_forward(params, points, num_points, cfg, with_nms)
+        return batch_forward(params_d, points, num_points, cfg, with_nms)
 
     return run

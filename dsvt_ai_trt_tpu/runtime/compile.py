@@ -83,9 +83,13 @@ def load_engine(path_or_blob) -> "jax.export.Exported":
 
 
 class Engine:
-    """Callable wrapper: boxes, count = engine(params, points, num_points).
+    """Callable wrapper: boxes, count = engine(points, num_points).
 
-    Falls back to plain JIT when no serialized artifact is given.
+    Weights are *captured* by the jitted callable rather than passed per
+    call: dispatch cost on tunneled TPU runtimes scales with the number of
+    argument leaves (~3.5 ms/leaf measured — 258 weight leaves cost ~900 ms
+    per call as arguments, ~0 captured).  Falls back to a serialized
+    jax.export artifact when given one.
     """
 
     def __init__(self, params, cfg: DSVTConfig, engine_path: Optional[str] = None,
@@ -94,15 +98,15 @@ class Engine:
         self.params = jax.device_put(params)
         if engine_path and os.path.exists(engine_path):
             exported = load_engine(engine_path)
-            self._call = exported.call
+            self._call = functools.partial(exported.call, self.params)
             log.info("loaded engine from %s", engine_path)
         else:
+            params_d = self.params
             self._call = jax.jit(
-                functools.partial(forward, cfg=cfg, with_nms=with_nms))
+                lambda pts, n: forward(params_d, pts, n, cfg, with_nms))
 
     def __call__(self, points, num_points):
-        dets = self._call(self.params, points, num_points)
-        return dets
+        return self._call(points, num_points)
 
     def warmup(self):
         points = jnp.zeros((self.cfg.max_points, 4), jnp.float32)
