@@ -78,3 +78,18 @@ def test_nms_in_graph(tiny_cfg, rng):
     raw = forward_jit(params, pts, n, cfg, False)
     assert int(d.count) <= int(raw.count)
     assert np.isfinite(np.asarray(d.boxes)).all()
+
+
+def test_batch_forward_matches_single(tiny_cfg, rng):
+    from dsvt_ai_trt_tpu.model.detector import forward_batch
+    cfg = tiny_cfg
+    params = weights.random_params(cfg, seed=3)
+    pts0, n0 = make_cloud(rng, cfg, 500)
+    pts1, n1 = make_cloud(rng, cfg, 700)
+    batch = forward_batch(params, np.stack([pts0, pts1]),
+                          np.array([n0, n1], np.int32), cfg, True)
+    for i, (p, n) in enumerate(((pts0, n0), (pts1, n1))):
+        ref = forward_jit(params, p, n, cfg, True)
+        assert int(batch.count[i]) == int(ref.count)
+        np.testing.assert_allclose(np.asarray(batch.boxes[i]),
+                                   np.asarray(ref.boxes), atol=1e-4, rtol=1e-4)
