@@ -46,9 +46,13 @@ def set_attention_qkv(q_p: jax.Array, k_p: jax.Array, v_p: jax.Array,
     dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
     prec = dot_precision(precision)
 
-    q = q_p[inds].reshape(S, K, H, D)
-    k = k_p[inds].reshape(S, K, H, D)
-    v = v_p[inds].reshape(S, K, H, D)
+    # on the fast paths, cast BEFORE the gather: the [S*K, C] gathered set
+    # layout is ~3x the pillar array, so moving it at bf16 halves the
+    # dominant HBM traffic of the DSVT stage (matmul inputs are bf16 anyway)
+    gt = jnp.bfloat16 if precision in ("mixed", "bf16") else jnp.float32
+    q = q_p.astype(gt)[inds].reshape(S, K, H, D)
+    k = k_p.astype(gt)[inds].reshape(S, K, H, D)
+    v = v_p.astype(gt)[inds].reshape(S, K, H, D)
 
     scale = 1.0 / jnp.sqrt(jnp.float32(D))
     logits = jnp.einsum("sqhd,skhd->shqk", (q * scale).astype(dt), k.astype(dt),
@@ -57,7 +61,9 @@ def set_attention_qkv(q_p: jax.Array, k_p: jax.Array, v_p: jax.Array,
     attn = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("shqk,skhd->sqhd", attn.astype(dt), v.astype(dt),
                      preferred_element_type=jnp.float32, precision=prec)
-    return out.reshape(S, K, C)
+    # keep the set-layout output at gather precision too: the scatter-back
+    # gather and the out-projection input consume it at bf16 on fast paths
+    return out.reshape(S, K, C).astype(gt)
 
 
 def set_attention(feats: jax.Array, pos: jax.Array, inds: jax.Array,
