@@ -32,7 +32,9 @@ def _conv(x, w, b, stride=1, precision="fp32"):
         preferred_element_type=jnp.float32,
         precision=dot_precision(precision),
     )[0]
-    return y + b
+    # bf16 mode keeps the dense BEV activations in bf16 end to end: the
+    # 468^2 maps dominate HBM traffic, accumulation stays f32 in-kernel
+    return (y + b).astype(dt)
 
 
 def _res_unit(x, unit, stride, precision):
@@ -58,7 +60,7 @@ def _upsample(x, w, b, k, precision):
                    preferred_element_type=jnp.float32,
                    precision=dot_precision(precision))
     y = y.reshape(H * k, W * k, w.shape[1]) + b
-    return jnp.maximum(y, 0.0)
+    return jnp.maximum(y, 0.0).astype(dt)
 
 
 def backbone2d_forward(bev: jax.Array, params: dict,

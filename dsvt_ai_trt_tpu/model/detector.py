@@ -44,6 +44,8 @@ def forward(params: Dict, points: jax.Array, num_points: jax.Array,
 
     feats = backbone3d_forward(feats, wparts, sparts, params, cfg, precision)
 
+    if precision == "bf16":
+        feats = feats.astype(jnp.bfloat16)
     bev = map_to_bev(feats, pillars.coords, pillars.pillar_valid,
                      (cfg.grid_size[1], cfg.grid_size[0]))
     bev = backbone2d_forward(bev, params["backbone2d"], precision)

@@ -39,7 +39,8 @@ def decode_and_filter(head_out: Dict[str, jax.Array], cfg: DSVTConfig) -> Detect
     xmin, ymin, zmin = cfg.pc_range_min
     xmax, ymax, zmax = cfg.pc_range_max
 
-    # [ncls, H*W] heatmap scores
+    # [ncls, H*W] heatmap scores (f32 regardless of backbone precision)
+    head_out = {k: v.astype(jnp.float32) for k, v in head_out.items()}
     hm = jax.nn.sigmoid(head_out["hm"]).transpose(2, 0, 1).reshape(ncls, H * W)
 
     # per-class top-k then global top-k (cpp:1519-1561)
