@@ -37,17 +37,18 @@ def main():
     # the TPU analogue of the reference's USE_FP16 flag); box parity vs the
     # fp32 path is validated by tools/parity_check.py.  Set
     # DSVT_BENCH_PRECISION=fp32 for the strict-parity path.
+    import dataclasses
     precision = os.environ.get("DSVT_BENCH_PRECISION", "mixed")
-    if precision != cfg.precision:
-        import dataclasses
-        cfg = dataclasses.replace(cfg, precision=precision)
+    approx = os.environ.get("DSVT_BENCH_APPROX_TOPK", "1") == "1"
+    cfg = dataclasses.replace(cfg, precision=precision, approx_topk=approx)
 
     # Waymo-density stretch config (BASELINE config 5): raised caps +
     # synthetic dense frames at ~180K points
     if os.environ.get("DSVT_BENCH_DENSITY") == "waymo":
         from dsvt_ai_trt_tpu.config import WAYMO_CONFIG
         import dataclasses
-        cfg = dataclasses.replace(WAYMO_CONFIG, precision=cfg.precision)
+        cfg = dataclasses.replace(WAYMO_CONFIG, precision=cfg.precision,
+                                  approx_topk=cfg.approx_topk)
 
     ckpt = os.environ.get("DSVT_BENCH_WEIGHTS", "dsvt.npz")
     if os.path.exists(ckpt):
@@ -110,7 +111,7 @@ def main():
     import jax.numpy as jnp
     from dsvt_ai_trt_tpu.model.detector import forward_batch
 
-    bsz = int(os.environ.get("DSVT_BENCH_BATCH", "5"))
+    bsz = int(os.environ.get("DSVT_BENCH_BATCH", "10"))
     reps = -(-bsz // len(frames))
     pool = (frames * reps)[:bsz]
     batch_pts = jnp.stack([p for p, _ in pool])
@@ -137,6 +138,7 @@ def main():
         "batch_ms_per_frame": round(batch_ms, 3),
         "batch_size": bsz,
         "precision": cfg.precision,
+        "approx_topk": cfg.approx_topk,
     }
     print(json.dumps(result))
 

@@ -89,6 +89,12 @@ class DSVTConfig:
     # heading parity with the TRT engine.
     parity_atan: bool = False
 
+    # per-class candidate search: exact top-k (reference semantics) or the
+    # TPU-native approx_max_k (recall>=0.95 per class; only affects
+    # candidates ranked near K whose scores are far below the 0.3 threshold
+    # in practice).  Exact by default.
+    approx_topk: bool = False
+
     # ---- execution ----
     # "fp32" = strict parity (Precision.HIGHEST matmuls); "mixed" = fp32 data
     # with bf16-input/fp32-accum matmuls (the TPU analogue of USE_FP16,

@@ -44,7 +44,11 @@ def decode_and_filter(head_out: Dict[str, jax.Array], cfg: DSVTConfig) -> Detect
     hm = jax.nn.sigmoid(head_out["hm"]).transpose(2, 0, 1).reshape(ncls, H * W)
 
     # per-class top-k then global top-k (cpp:1519-1561)
-    cls_scores, cls_inds = jax.lax.top_k(hm, K)            # [ncls, K]
+    if cfg.approx_topk:
+        # TPU-native partial reduction instead of the full per-class sort
+        cls_scores, cls_inds = jax.lax.approx_max_k(hm, K, recall_target=0.95)
+    else:
+        cls_scores, cls_inds = jax.lax.top_k(hm, K)        # [ncls, K]
     flat_scores = cls_scores.reshape(ncls * K)
     scores, sel = jax.lax.top_k(flat_scores, K)            # [K]
     classes = sel // K                                      # (cpp:1571)
