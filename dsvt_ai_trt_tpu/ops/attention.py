@@ -43,23 +43,23 @@ def set_attention_qkv(q_p: jax.Array, k_p: jax.Array, v_p: jax.Array,
     C = q_p.shape[-1]
     H = num_heads
     D = C // H
-    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
     prec = dot_precision(precision)
 
-    # on the fast paths, cast BEFORE the gather: the [S*K, C] gathered set
-    # layout is ~3x the pillar array, so moving it at bf16 halves the
-    # dominant HBM traffic of the DSVT stage (matmul inputs are bf16 anyway)
+    # fast paths keep every attention-internal tensor in bf16 (the gathered
+    # set layout, the [S,H,K,K] probabilities) with f32 accumulation and an
+    # f32 softmax — the [S*K, C] gathers and [S,H,K,K] buffers dominate the
+    # DSVT stage's HBM traffic, and matmul inputs are bf16 on the MXU anyway
     gt = jnp.bfloat16 if precision in ("mixed", "bf16") else jnp.float32
     q = q_p.astype(gt)[inds].reshape(S, K, H, D)
     k = k_p.astype(gt)[inds].reshape(S, K, H, D)
     v = v_p.astype(gt)[inds].reshape(S, K, H, D)
 
-    scale = 1.0 / jnp.sqrt(jnp.float32(D))
-    logits = jnp.einsum("sqhd,skhd->shqk", (q * scale).astype(dt), k.astype(dt),
+    scale = jnp.asarray(1.0, gt) / jnp.sqrt(jnp.asarray(D, gt))
+    logits = jnp.einsum("sqhd,skhd->shqk", q * scale, k,
                         preferred_element_type=jnp.float32, precision=prec)
     logits = logits + key_mask[:, None, None, :]
     attn = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("shqk,skhd->sqhd", attn.astype(dt), v.astype(dt),
+    out = jnp.einsum("shqk,skhd->sqhd", attn.astype(gt), v,
                      preferred_element_type=jnp.float32, precision=prec)
     # keep the set-layout output at gather precision too: the scatter-back
     # gather and the out-projection input consume it at bf16 on fast paths
@@ -132,11 +132,11 @@ def gelu_tanh(x: jax.Array) -> jax.Array:
 
 def ffn(x: jax.Array, enc: dict, precision: str = "fp32") -> jax.Array:
     """linear1 -> GELU -> linear2 (fullyConnected_gelu_fullyConnected,
-    cpp:494-529)."""
-    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    cpp:494-529).  Fast paths keep the 2x-wide hidden activations in bf16."""
+    dt = jnp.bfloat16 if precision in ("mixed", "bf16") else jnp.float32
     prec = dot_precision(precision)
     h = jnp.einsum("pc,cd->pd", x.astype(dt), enc["ffn_w1"].astype(dt),
                    preferred_element_type=jnp.float32, precision=prec) + enc["ffn_b1"]
-    h = gelu_tanh(h)
-    return jnp.einsum("pc,cd->pd", h.astype(dt), enc["ffn_w2"].astype(dt),
+    h = gelu_tanh(h).astype(dt)
+    return jnp.einsum("pc,cd->pd", h, enc["ffn_w2"].astype(dt),
                       preferred_element_type=jnp.float32, precision=prec) + enc["ffn_b2"]
