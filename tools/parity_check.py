@@ -36,7 +36,8 @@ def main():
     fast = sys.argv[1] if len(sys.argv) > 1 else "mixed"
     enable_persistent_cache()
     cfg32 = DEFAULT_CONFIG
-    cfg_fast = dataclasses.replace(cfg32, precision=fast)
+    approx = os.environ.get("DSVT_PARITY_APPROX", "1") == "1"
+    cfg_fast = dataclasses.replace(cfg32, precision=fast, approx_topk=approx)
     params = weights.random_params(cfg32, seed=0)
 
     data = os.environ.get("DSVT_BENCH_DATA", "/root/reference/data/bin")
