@@ -54,16 +54,21 @@ def set_attention_qkv(q_p: jax.Array, k_p: jax.Array, v_p: jax.Array,
     k = k_p.astype(gt)[inds].reshape(S, K, H, D)
     v = v_p.astype(gt)[inds].reshape(S, K, H, D)
 
+    # logits live as [Kq, Kk, H, S] so the minor dims are (H, S) — large and
+    # dense.  The natural [S, H, Kq, Kk] layout tile-pads the trailing
+    # (36, 36) to (40, 128), a ~4x blow-up on the biggest buffer of the
+    # DSVT stage (1.3 GB/frame-batch measured).
     scale = jnp.asarray(1.0, gt) / jnp.sqrt(jnp.asarray(D, gt))
-    logits = jnp.einsum("sqhd,skhd->shqk", q * scale, k,
+    logits = jnp.einsum("sqhd,skhd->qkhs", q * scale, k,
                         preferred_element_type=jnp.float32, precision=prec)
-    logits = logits + key_mask[:, None, None, :]
-    attn = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("shqk,skhd->sqhd", attn.astype(gt), v,
+    logits = logits + jnp.transpose(key_mask)[None, :, None, :]
+    attn = jax.nn.softmax(logits, axis=1)
+    out = jnp.einsum("qkhs,skhd->qshd", attn.astype(gt), v,
                      preferred_element_type=jnp.float32, precision=prec)
+    out = jnp.transpose(out, (1, 0, 2, 3)).reshape(S, K, C)
     # keep the set-layout output at gather precision too: the scatter-back
     # gather and the out-projection input consume it at bf16 on fast paths
-    return out.reshape(S, K, C).astype(gt)
+    return out.astype(gt)
 
 
 def set_attention(feats: jax.Array, pos: jax.Array, inds: jax.Array,
