@@ -42,6 +42,9 @@ def main():
 
     data = os.environ.get("DSVT_BENCH_DATA", "/root/reference/data/bin")
     n_frames = int(os.environ.get("DSVT_PARITY_FRAMES", "3"))
+    # the reference bundles only 3 distinct clouds among its 10 .bin files
+    # (000000==000001==000002==000005..7 etc.) — dedupe by content so
+    # n_frames counts *distinct* frames
     worst = {"recall": 1.0, "precision": 1.0, "score_err": 0.0,
              "center_err": 0.0}
     # ignore boxes hugging the score threshold: a borderline detection
@@ -49,7 +52,14 @@ def main():
     # fp16 engine has the same property); parity is judged on confident boxes
     margin = float(os.environ.get("DSVT_PARITY_MARGIN", "0.05"))
     min_score = 0.3 + margin
-    for path in frame_paths(data)[:n_frames]:
+    distinct, seen = [], set()
+    for path in frame_paths(data):
+        with open(path, "rb") as f:
+            digest = hash(f.read())
+        if digest not in seen:
+            seen.add(digest)
+            distinct.append(path)
+    for path in distinct[:n_frames]:
         pts, n = load_bin(path, cfg32.max_points)
         ref = boxes_for(cfg32, params, pts, n, min_score)
         got = boxes_for(cfg_fast, params, pts, n, min_score)
