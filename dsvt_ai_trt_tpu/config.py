@@ -101,6 +101,11 @@ class DSVTConfig:
     # params.h:332); "bf16" = bf16 activations end to end.
     precision: str = "fp32"
     use_pallas: bool = True            # fused Pallas kernels on TPU (auto-off elsewhere)
+    # set-attention core: "xla" (fused dot_product_attention path) or
+    # "pallas" (ops/attention_pallas.py grouped-dot kernel).  Both are
+    # validated against the same oracle; measured within noise of each
+    # other on v5e, so the XLA path is the default.
+    attn_impl: str = "xla"
 
     # ------------------------------------------------------------------
     @property
