@@ -55,8 +55,10 @@ def run_frames(engine: Engine, paths: List[str], out_dir: Optional[str] = None,
         t0 = time.perf_counter()
         pts_d = jax.device_put(pts)
         dets = engine(pts_d, n)
-        boxes = np.asarray(dets.boxes)
-        count = int(dets.count)
+        # one transfer for boxes+count: every separate host read costs a
+        # full round trip on tunneled runtimes (see bench.py)
+        boxes, count = jax.device_get((dets.boxes, dets.count))
+        count = int(count)
         seconds = time.perf_counter() - t0
 
         if host_nms:
@@ -85,7 +87,7 @@ def benchmark(engine: Engine, paths: List[str], iters: int = 3) -> dict:
     for _ in range(iters):
         for pts, n in staged:
             dets = engine(pts, n)
-            np.asarray(dets.boxes)
+            jax.device_get((dets.boxes, dets.count))
     dt = time.perf_counter() - t0
     ms = dt / (iters * len(staged)) * 1e3
     return {"ms_per_frame": ms, "frames": len(staged), "iters": iters}
