@@ -294,24 +294,32 @@ def nms(boxes: jax.Array, count: jax.Array, iou_threshold: float,
     idx = jnp.arange(K)
     # greedy suppression, exact, in chunked Gauss-Seidel form: the score
     # order is processed in chunks of C; suppression *by the finalized
-    # prefix* is one dense [K, C] reduction, and the in-chunk recurrence is
-    # a statically-unrolled C-step scan on a [C, C] tile.  K/C loop
-    # iterations total (vs K for the naive sequential loop).
+    # prefix* is one dense [Kp, C] reduction, and the in-chunk recurrence is
+    # a statically-unrolled C-step scan on a [C, C] tile.  Kp/C loop
+    # iterations total (vs K for the naive sequential loop).  K is padded up
+    # to a multiple of C so non-divisible (e.g. prime) top_k stays fast.
     sup_mask = (iou >= iou_threshold) & (idx[:, None] < idx[None, :]) & valid[:, None]
-    C = next(c for c in range(min(64, K), 0, -1) if K % c == 0)
+    C = min(64, K)
+    Kp = -(-K // C) * C
+    if Kp != K:
+        sup_mask = jnp.pad(sup_mask, ((0, Kp - K), (0, Kp - K)))
+        alive0 = jnp.pad(valid, (0, Kp - K))
+    else:
+        alive0 = valid
+    idxp = jnp.arange(Kp)
 
     def chunk_body(c, alive):
         start = c * C
-        cols = jax.lax.dynamic_slice(sup_mask, (0, start), (K, C))   # [K, C]
-        prefix = idx < start
+        cols = jax.lax.dynamic_slice(sup_mask, (0, start), (Kp, C))  # [Kp, C]
+        prefix = idxp < start
         pre_sup = jnp.any(cols & (alive & prefix)[:, None], axis=0)  # [C]
         sub = jax.lax.dynamic_slice(sup_mask, (start, start), (C, C))
-        a = jax.lax.dynamic_slice(valid, (start,), (C,)) & ~pre_sup
+        a = jax.lax.dynamic_slice(alive, (start,), (C,)) & ~pre_sup
         for r in range(1, C):  # static unroll: in-chunk recurrence
             a = a.at[r].set(a[r] & ~jnp.any(a[:r] & sub[:r, r]))
         return jax.lax.dynamic_update_slice(alive, a, (start,))
 
-    keep = jax.lax.fori_loop(0, K // C, chunk_body, valid)
+    keep = jax.lax.fori_loop(0, Kp // C, chunk_body, alive0)[:K]
     order = jnp.argsort(jnp.where(keep, 0, 1), stable=True)
     kept = jnp.where(keep[order][:, None], boxes[order], 0.0)
     return kept, jnp.sum(keep.astype(jnp.int32))

@@ -51,6 +51,28 @@ def _register_serializable_types() -> None:
         pass  # already registered
 
 
+# engine artifact header: magic + config stamp, so a deserialized engine can
+# never silently run with different semantics than the caller expects (the
+# reference has the same hazard: nothing ties se-ssd-spp.engine to params.h).
+_ENGINE_MAGIC = b"DSVTTPU1"
+
+
+def _stamp(cfg: DSVTConfig, with_nms: bool) -> bytes:
+    import json
+    meta = json.dumps({"config": json.loads(cfg.to_json()),
+                       "with_nms": with_nms}).encode()
+    return _ENGINE_MAGIC + len(meta).to_bytes(4, "little") + meta
+
+
+def _split_stamp(blob: bytes):
+    import json
+    if not blob.startswith(_ENGINE_MAGIC):
+        return None, blob  # legacy unstamped artifact
+    n = int.from_bytes(blob[8:12], "little")
+    meta = json.loads(blob[12:12 + n].decode())
+    return meta, blob[12 + n:]
+
+
 def build_engine(params, cfg: DSVTConfig, path: Optional[str] = None,
                  with_nms: bool = True) -> bytes:
     """AOT-compile the full forward pass and serialize it (the -s path)."""
@@ -62,7 +84,7 @@ def build_engine(params, cfg: DSVTConfig, path: Optional[str] = None,
     points, num = _abstract_inputs(cfg)
     t0 = time.time()
     exported = export.export(fn)(params, points, num)
-    blob = exported.serialize()
+    blob = _stamp(cfg, with_nms) + exported.serialize()
     log.info("engine build: %.1fs, %d bytes", time.time() - t0, len(blob))
     if path:
         with open(path, "wb") as f:
@@ -70,8 +92,14 @@ def build_engine(params, cfg: DSVTConfig, path: Optional[str] = None,
     return blob
 
 
-def load_engine(path_or_blob) -> "jax.export.Exported":
-    """Deserialize a built engine (the -d path)."""
+def load_engine(path_or_blob, expect_cfg: Optional[DSVTConfig] = None,
+                expect_nms: Optional[bool] = None) -> "jax.export.Exported":
+    """Deserialize a built engine (the -d path).
+
+    When `expect_cfg`/`expect_nms` are given, the config stamped into the
+    artifact at build time must match, else ValueError — a deserialized
+    engine can't silently run with stale semantics.
+    """
     from jax import export
 
     _register_serializable_types()
@@ -79,6 +107,24 @@ def load_engine(path_or_blob) -> "jax.export.Exported":
     if isinstance(path_or_blob, str):
         with open(path_or_blob, "rb") as f:
             blob = f.read()
+    meta, blob = _split_stamp(blob)
+    if meta is not None:
+        if expect_cfg is not None:
+            import json
+            built = DSVTConfig.from_json(json.dumps(meta["config"]))
+            if built != expect_cfg:
+                diffs = [f for f in built.__dataclass_fields__
+                         if getattr(built, f) != getattr(expect_cfg, f)]
+                raise ValueError(
+                    f"engine was built with a different config (fields {diffs}); "
+                    "rebuild it or pass the matching DSVTConfig")
+        if expect_nms is not None and meta["with_nms"] != expect_nms:
+            raise ValueError(
+                f"engine was built with with_nms={meta['with_nms']}, "
+                f"caller expects {expect_nms}")
+    elif expect_cfg is not None or expect_nms is not None:
+        log.warning("engine artifact has no config stamp (pre-r2 build); "
+                    "cannot verify settings")
     return export.deserialize(blob)
 
 
@@ -97,7 +143,8 @@ class Engine:
         self.cfg = cfg
         self.params = jax.device_put(params)
         if engine_path and os.path.exists(engine_path):
-            exported = load_engine(engine_path)
+            exported = load_engine(engine_path, expect_cfg=cfg,
+                                   expect_nms=with_nms)
             self._call = functools.partial(exported.call, self.params)
             log.info("loaded engine from %s", engine_path)
         else:

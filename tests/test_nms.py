@@ -93,3 +93,21 @@ def test_pallas_overlap_matches_clip(rng):
     ref = np.asarray(pairwise_overlap_clip(jnp.asarray(boxes)))
     got = np.asarray(pairwise_overlap_pallas(jnp.asarray(boxes), interpret=True))
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_nms_non_divisible_k_matches_oracle(rng):
+    """K with no divisor <=64 (prime) must stay fast AND exact: the chunked
+    suppression pads K up to a multiple of the chunk size."""
+    n = 67  # prime
+    boxes = _random_boxes(rng, n)
+    for c in range(0, n - 4, 5):
+        boxes[c + 1:c + 4, :2] = boxes[c, :2] + rng.uniform(-0.5, 0.5, (3, 2))
+    count = n - 2
+    boxes[count:] = 0
+    kept, kcount = nms(jnp.asarray(boxes), jnp.int32(count), 0.01)
+    ref_keep = oracles.nms_oracle(boxes, count, 0.01)
+    assert int(kcount) == len(ref_keep)
+    kept = np.asarray(kept)[:int(kcount)]
+    ref_boxes = boxes[sorted(ref_keep)]
+    np.testing.assert_allclose(kept[np.lexsort(kept.T)],
+                               ref_boxes[np.lexsort(ref_boxes.T)], atol=1e-6)

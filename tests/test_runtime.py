@@ -73,3 +73,23 @@ def test_run_frames_host_nms_matches_device_counts(tiny_cfg, rng, tmp_path):
     a = dev[0]["boxes"][np.lexsort(dev[0]["boxes"].T)]
     b = host[0]["boxes"][np.lexsort(host[0]["boxes"].T)]
     np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+def test_engine_config_stamp_rejects_mismatch(tiny_cfg, rng, tmp_path):
+    """A serialized engine refuses to load under a different config/NMS
+    setting (the artifact is stamped at build time)."""
+    import dataclasses
+    cfg = tiny_cfg
+    params = weights.random_params(cfg, seed=4)
+    path = str(tmp_path / "t.engine")
+    build_engine(params, cfg, path, with_nms=True)
+
+    # matching load is fine
+    load_engine(path, expect_cfg=cfg, expect_nms=True)
+
+    with pytest.raises(ValueError, match="with_nms"):
+        load_engine(path, expect_nms=False)
+    other = dataclasses.replace(cfg, score_threshold=0.5)
+    with pytest.raises(ValueError, match="different config"):
+        load_engine(path, expect_cfg=other)
+    with pytest.raises(ValueError):
+        Engine(params, other, engine_path=path, with_nms=True)
