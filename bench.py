@@ -146,6 +146,29 @@ def main():
     batch_ms = (time.perf_counter() - t0) / (2 * iters * bsz) * 1e3
 
     best = min(stream_ms, batch_ms)
+
+    # per-stage breakdown + MFU (VERDICT r1 task 3).  Stage timings carry
+    # one host-readback RTT each, so they rank hot spots rather than sum to
+    # the fused end-to-end time; FLOPs come from XLA cost analysis of the
+    # full fused program.
+    stages, mfu, flops_g = {}, None, None
+    if os.environ.get("DSVT_BENCH_STAGES", "1") == "1":
+        from dsvt_ai_trt_tpu.runtime.profiler import (
+            profile_stages, program_flops, device_peak_flops)
+        from dsvt_ai_trt_tpu.model.detector import forward as fwd
+
+        pts0, n0 = frames[0]
+        timer = profile_stages(params_d, pts0, n0, cfg, iters=3)
+        stages = {name: round(s["mean_ms"], 2)
+                  for name, s in timer.summary().items()}
+        total_flops = program_flops(
+            lambda p, n: fwd(params_d, p, n, cfg, True), pts0, n0)
+        peak = device_peak_flops(cfg.precision)
+        if total_flops:
+            flops_g = round(total_flops / 1e9, 1)
+            if peak:
+                mfu = round(total_flops / (best / 1e3) / peak, 4)
+
     result = {
         "metric": "ms/frame end-to-end",
         "value": round(best, 3),
@@ -158,6 +181,10 @@ def main():
         "batch_size": bsz,
         "precision": cfg.precision,
         "approx_topk": cfg.approx_topk,
+        "stages_ms": stages,
+        "flops_g": flops_g,
+        "mfu": mfu,
+        "device": jax.devices()[0].device_kind,
     }
     print(json.dumps(result))
 

@@ -65,6 +65,34 @@ def match_boxes(pred: np.ndarray, ref: np.ndarray,
     }
 
 
+def coverage(queries: np.ndarray, pool: np.ndarray,
+             iou_threshold: float = 0.5) -> Dict:
+    """Existence check: fraction of `queries` with SOME same-class box in
+    `pool` at IoU >= threshold.  Unlike match_boxes there is no exclusivity
+    — two overlapping query boxes may be witnessed by one pool box — which
+    is the correct semantics for "every confident box must exist on the
+    other side" parity gates (greedy 1:1 matching under-counts on clustered
+    near-duplicates)."""
+    n = len(queries)
+    hit = 0
+    score_err = center_err = 0.0
+    for q in queries:
+        best_iou, best_j = iou_threshold, -1
+        for j in range(len(pool)):
+            if int(q[7]) != int(pool[j, 7]):
+                continue
+            iou = _bev_iou(q, pool[j])
+            if iou > best_iou:
+                best_iou, best_j = iou, j
+        if best_j >= 0:
+            hit += 1
+            score_err = max(score_err, abs(float(q[8] - pool[best_j, 8])))
+            center_err = max(center_err,
+                             float(np.linalg.norm(q[:3] - pool[best_j, :3])))
+    return {"n": n, "covered": hit, "coverage": hit / max(n, 1),
+            "max_score_err": score_err, "max_center_err": center_err}
+
+
 def parity_ok(pred: np.ndarray, ref: np.ndarray, iou_threshold: float = 0.5,
               min_recall: float = 0.95, min_precision: float = 0.95) -> bool:
     stats = match_boxes(pred, ref, iou_threshold)

@@ -20,14 +20,20 @@ import jax.numpy as jnp
 
 from ..config import BACKBONE2D_STAGES, BACKBONE2D_DEBLOCK
 from ..ops.common import dot_precision
+from ..parallel.spatial import constrain_bev
 
 
 def _conv(x, w, b, stride=1, precision="fp32"):
     dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    # explicit symmetric padding k//2 (torch Conv2d padding=1 semantics, the
+    # reference's conv helpers cpp:182-245).  XLA's "SAME" would pad (0,1)
+    # asymmetrically for stride-2 on even inputs — a one-pixel grid shift vs
+    # the reference; caught by the torch oracle (tools/torch_oracle.py).
+    pad = w.shape[0] // 2
     y = jax.lax.conv_general_dilated(
         x.astype(dt)[None], w.astype(dt),
         window_strides=(stride, stride),
-        padding="SAME" if w.shape[0] > 1 else "VALID",
+        padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
         precision=dot_precision(precision),
@@ -66,13 +72,14 @@ def _upsample(x, w, b, k, precision):
 def backbone2d_forward(bev: jax.Array, params: dict,
                        precision: str = "fp32") -> jax.Array:
     """bev: [H, W, 192] -> [H, W, 384]."""
-    x = bev
+    x = constrain_bev(bev)
     laterals = []
     for s, (units, _ch, stride) in enumerate(BACKBONE2D_STAGES):
         stage = params["stages"][s]
         for u in range(units):
-            x = _res_unit(x, stage[u], stride if u == 0 else 1, precision)
+            x = constrain_bev(_res_unit(x, stage[u], stride if u == 0 else 1,
+                                        precision))
         k, _s = BACKBONE2D_DEBLOCK[s]
         d = params["deblocks"][s]
-        laterals.append(_upsample(x, d["w"], d["b"], k, precision))
-    return jnp.concatenate(laterals, axis=-1)
+        laterals.append(constrain_bev(_upsample(x, d["w"], d["b"], k, precision)))
+    return constrain_bev(jnp.concatenate(laterals, axis=-1))

@@ -22,6 +22,7 @@ from ..ops.windows import window_partition, set_partition
 from ..ops.bev import map_to_bev
 from ..ops.postprocess import decode_and_filter, Detections
 from ..ops import nms as nms_ops
+from ..parallel.spatial import constrain_bev
 from .vfe import vfe_forward
 from .backbone3d import backbone3d_forward
 from .backbone2d import backbone2d_forward
@@ -46,8 +47,11 @@ def forward(params: Dict, points: jax.Array, num_points: jax.Array,
 
     if precision == "bf16":
         feats = feats.astype(jnp.bfloat16)
-    bev = map_to_bev(feats, pillars.coords, pillars.pillar_valid,
-                     (cfg.grid_size[1], cfg.grid_size[0]))
+    # under spatial sharding the canvas is row-sharded from the scatter on:
+    # the dense conv stack (the FLOP-dominant stage at Waymo density) runs
+    # partitioned with GSPMD-inserted halo exchanges (parallel/spatial.py)
+    bev = constrain_bev(map_to_bev(feats, pillars.coords, pillars.pillar_valid,
+                                   (cfg.grid_size[1], cfg.grid_size[0])))
     bev = backbone2d_forward(bev, params["backbone2d"], precision)
     head_out = head_forward(bev, params["head"], precision)
     dets = decode_and_filter(head_out, cfg)

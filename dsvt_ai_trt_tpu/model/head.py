@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import DSVTConfig, head_branches
+from ..parallel.spatial import constrain_bev
 from .backbone2d import _conv
 
 
@@ -32,13 +33,13 @@ def head_forward(features: jax.Array, params: dict, precision: str = "fp32",
     """features: [H, W, 384] -> dict of [H, W, c] maps."""
     branches = head_branches(cfg) if cfg is not None else _infer_branches(params)
 
-    shared = jnp.maximum(
-        _conv(features, params["shared_w"], params["shared_b"], 1, precision), 0.0)
+    shared = constrain_bev(jnp.maximum(
+        _conv(features, params["shared_w"], params["shared_b"], 1, precision), 0.0))
 
     hidden_c = params[branches[0][0]]["w0"].shape[-1]
     w0 = jnp.concatenate([params[n]["w0"] for n, _ in branches], axis=-1)
     b0 = jnp.concatenate([params[n]["b0"] for n, _ in branches], axis=-1)
-    hidden = jnp.maximum(_conv(shared, w0, b0, 1, precision), 0.0)
+    hidden = constrain_bev(jnp.maximum(_conv(shared, w0, b0, 1, precision), 0.0))
 
     total_out = sum(c for _, c in branches)
     total_in = hidden_c * len(branches)
@@ -51,7 +52,7 @@ def head_forward(features: jax.Array, params: dict, precision: str = "fp32",
                    out_off:out_off + c].set(params[name]["w1"])
         in_off += hidden_c
         out_off += c
-    fused = _conv(hidden, w1, b1, 1, precision)
+    fused = constrain_bev(_conv(hidden, w1, b1, 1, precision))
 
     out, off = {}, 0
     for name, c in branches:

@@ -28,6 +28,15 @@ import jax.numpy as jnp
 from ..config import DSVTConfig
 
 
+def cell_edges(vmin: float, vsize: float, n: int):
+    """fp32 cell-edge table for exact-comparison binning: edge[i] is the
+    float64-exact i-th grid line rounded to fp32."""
+    import numpy as np
+
+    return (np.float64(vmin) + np.float64(vsize) * np.arange(n + 1)).astype(
+        np.float32)
+
+
 class Pillars(NamedTuple):
     """Static-shaped pillar decomposition of one frame.
 
@@ -72,8 +81,21 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
                 & (z >= zmin) & (z < zmax))
     valid = in_range & (idx < num_points)
 
-    ix = jnp.floor((x - xmin) / vx).astype(jnp.int32)
-    iy = jnp.floor((y - ymin) / vy).astype(jnp.int32)
+    # cell binning by exact comparison against a host-precomputed fp32
+    # edge table, NOT floor((x-min)/size).  The reference's fp32 division
+    # (points2Features.cu:687-688, correctly rounded on CUDA) bins points
+    # lying within one ulp of a cell edge by the *rounding* of the quotient,
+    # which neither XLA-under-jit (algebraic rewrites) nor the TPU's
+    # Newton-iteration divide reproduces — the bundled frames actually hit
+    # this with near-origin points at x ~ -3e-6.  searchsorted against the
+    # float64-derived edge grid is bit-deterministic on every backend; the
+    # torch oracle applies the identical rule (tools/torch_oracle.py).
+    edges_x = jnp.asarray(cell_edges(xmin, vx, gx))
+    edges_y = jnp.asarray(cell_edges(ymin, vy, gy))
+    ix = jnp.searchsorted(edges_x, x, side="right").astype(jnp.int32) - 1
+    iy = jnp.searchsorted(edges_y, y, side="right").astype(jnp.int32) - 1
+    ix = jnp.clip(ix, 0, gx - 1)
+    iy = jnp.clip(iy, 0, gy - 1)
     cell = jnp.where(valid, iy * gx + ix, jnp.int32(gx * gy))  # sentinel last
 
     # group points by pillar: one stable sort keyed on the cell id keeps
@@ -83,27 +105,36 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
     s_valid = valid[order]
     s_pts = points[order]
 
+    # rank within pillar + the 48-point cap, computed on the FULL stream.
+    # The cap must come before the 30000-row compaction: the reference caps
+    # each cell at 48 while scattering (points2Features.cu:697-699) and only
+    # then compacts occupied cells into the MAX_POINTS_NUM_1 point list
+    # (generateBaseFeatures_kernel, cu:732-766), so over-cap points in dense
+    # pillars never consume compacted-buffer budget.
+    prev_full = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_cell[:-1]])
+    first_of_pillar = s_valid & (s_cell != prev_full)
+    pos_full = jnp.arange(N, dtype=jnp.int32)
+    # start position of each point's pillar via a running max over starts
+    start_of = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first_of_pillar, pos_full, 0))
+    rank_full = pos_full - start_of
+    capped = s_valid & (rank_full < CAP)
+
+    # compact capped points to the front (stable: cell order preserved),
+    # then truncate to the compacted capacity (MAX_POINTS_NUM_1, params.h:25)
+    compact = jnp.argsort(jnp.where(capped, 0, 1), stable=True)
+    s_cell = jnp.where(capped, s_cell, jnp.int32(gx * gy))[compact][:P1]
+    s_valid = capped[compact][:P1]
+    s_pts = s_pts[compact][:P1]
+
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_cell[:-1]])
     new_pillar = s_valid & (s_cell != prev)
 
-    # truncate the grouped stream to the compacted point capacity
-    # (MAX_POINTS_NUM_1, params.h:25); the reference would overflow its
-    # 30000-row buffer here, we drop the tail of the last pillars instead
-    s_cell = s_cell[:P1]
-    s_valid = s_valid[:P1]
-    s_pts = s_pts[:P1]
-    new_pillar = new_pillar[:P1]
-
     pillar_of_point = jnp.cumsum(new_pillar.astype(jnp.int32)) - 1  # [P1]
     pillar_of_point = jnp.where(s_valid & (pillar_of_point < P), pillar_of_point, P)
-
-    # rank of a point within its pillar + per-pillar cap of 48
-    pos = jnp.arange(P1, dtype=jnp.int32)
-    start_pos = jnp.zeros((P + 1,), jnp.int32).at[pillar_of_point].max(
-        jnp.where(new_pillar, pos, 0), mode="drop")
-    rank = pos - start_pos[pillar_of_point]
-    kept = s_valid & (rank < CAP) & (pillar_of_point < P)
+    kept = s_valid & (pillar_of_point < P)
     point_pillar = jnp.where(kept, pillar_of_point, P)
+    pos = jnp.arange(P1, dtype=jnp.int32)
 
     # pillar registry (capped at max_pillars, params.h:26)
     pillar_count = jnp.minimum(jnp.sum(new_pillar.astype(jnp.int32)), P)
@@ -122,11 +153,17 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
     means = sums / jnp.maximum(counts[:, None], 1.0)
 
     # 10-dim features (points2Features.cu:838-861):
-    # [x, y, z, intensity, d_cluster(3), d_center(3)]
+    # [x, y, z, intensity, d_cluster(3), d_center(3)] — the cell index is
+    # re-derived from the point like generateFeatures_kernel (cu:843-845),
+    # using the same edge-table rule as the binning above
     m = means[point_pillar]
-    cx = (jnp.floor((s_pts[:, 0] - xmin) / vx) + 0.5) * vx + xmin
-    cy = (jnp.floor((s_pts[:, 1] - ymin) / vy) + 0.5) * vy + ymin
-    cz = (jnp.floor((s_pts[:, 2] - zmin) / vz) + 0.5) * vz + zmin
+    edges_z = jnp.asarray(cell_edges(zmin, vz, _gz))
+    s_ix = jnp.searchsorted(edges_x, s_pts[:, 0], side="right").astype(jnp.float32) - 1
+    s_iy = jnp.searchsorted(edges_y, s_pts[:, 1], side="right").astype(jnp.float32) - 1
+    s_iz = jnp.searchsorted(edges_z, s_pts[:, 2], side="right").astype(jnp.float32) - 1
+    cx = (s_ix + 0.5) * vx + xmin
+    cy = (s_iy + 0.5) * vy + ymin
+    cz = (s_iz + 0.5) * vz + zmin
     feats = jnp.concatenate([
         s_pts[:, :4],
         s_pts[:, :3] - m,

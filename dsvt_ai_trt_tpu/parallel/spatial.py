@@ -51,6 +51,25 @@ def constrain_rows(x: jax.Array) -> jax.Array:
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 
 
+def constrain_bev(x: jax.Array) -> jax.Array:
+    """Shard a dense BEV map's row axis over the spatial mesh axis.
+
+    Applied to the [H, W, C] canvas from map2bev through the 2D backbone and
+    CenterHead, this keeps the dominant dense-FLOP stages partitioned across
+    chips instead of re-replicating at map2bev (VERDICT r1 item 2).  XLA's
+    SPMD partitioner materializes the halo exchanges the 3x3 convolutions
+    need at every shard boundary (and the uneven-row padding for the
+    468->234->117 stride chain) from these annotations alone — the idiomatic
+    TPU form of the halo plan in SURVEY §2.3, with no hand-written
+    collectives to keep correct."""
+    state = _current()
+    if state is None:
+        return x
+    mesh, axis = state
+    spec = (axis,) + (None,) * (x.ndim - 1)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+
 def replicate(x: jax.Array) -> jax.Array:
     state = _current()
     if state is None:

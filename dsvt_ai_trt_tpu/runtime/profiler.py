@@ -20,6 +20,7 @@ class StageTimer:
 
     def __init__(self):
         self.times: Dict[str, List[float]] = {}
+        self.flops: Dict[str, float] = {}
 
     @contextlib.contextmanager
     def stage(self, name: str, sync_value=None):
@@ -51,6 +52,44 @@ class StageTimer:
         return "\n".join(lines)
 
 
+# bf16 peak matmul throughput per chip, FLOP/s (public spec sheets); fp32 on
+# TPU runs through the same MXU at ~1/2 (v4/v5) via fp32 accumulation passes.
+_PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def device_peak_flops(precision: str = "bf16", device=None) -> float:
+    """Best-effort peak FLOP/s for the attached device (0.0 if unknown)."""
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "")
+    for name, peak in _PEAK_BF16.items():
+        if kind.startswith(name) or name.lower() in kind.lower():
+            return peak if precision != "fp32" else peak / 2
+    return 0.0
+
+
+def program_flops(fn, *args) -> float:
+    """Total FLOPs of the compiled program via XLA's cost analysis.
+
+    Returns 0.0 when the backend doesn't expose cost analysis (e.g. some
+    plugin runtimes)."""
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return float(ca.get("flops", 0.0))
+    except Exception:  # pragma: no cover - backend-specific
+        return 0.0
+
+
 @contextlib.contextmanager
 def xla_trace(log_dir: str = "/tmp/dsvt_tpu_trace"):
     """Capture a full XLA profile viewable in TensorBoard/XProf."""
@@ -73,13 +112,15 @@ def _sync(tree) -> None:
     np.asarray(jax.numpy.ravel(leaves[0])[0])
 
 
-def profile_stages(params, points, num_points, cfg, iters: int = 10) -> str:
+def profile_stages(params, points, num_points, cfg, iters: int = 10) -> StageTimer:
     """Time each pipeline stage separately (each stage jitted on its own).
 
-    Each stage jit also returns a scalar checksum that is read back to the
-    host, so timings include one ~tunnel round trip but cannot be faked by
-    async dispatch.  Inter-stage fusion is lost, so the sum exceeds the
-    fused end-to-end time; use for relative hot-spot ranking.
+    Each stage syncs via a host readback of its own output, so timings
+    include one ~tunnel round trip but cannot be faked by async dispatch.
+    Inter-stage fusion is lost, so the sum exceeds the fused end-to-end
+    time; use for relative hot-spot ranking.  Returns the StageTimer
+    (``.report()`` for text, ``.summary()`` for the dict); per-stage FLOPs
+    from XLA cost analysis land in ``timer.flops``.
     """
     import functools
     import jax.numpy as jnp
@@ -172,4 +213,19 @@ def profile_stages(params, points, num_points, cfg, iters: int = 10) -> str:
         with timer.stage("nms"):
             out = nms_fn(dets.boxes, dets.count)
             _sync(out[0])
-    return timer.report()
+
+    # per-stage FLOPs via XLA cost analysis (0.0 where unavailable)
+    timer.flops = {
+        "voxelize": program_flops(vox_fn, points, num_points),
+        "vfe": program_flops(vfe_fn, vox),
+        "window_set_partition": program_flops(parts_jit, vox.coords,
+                                              vox.pillar_valid),
+        "dsvt_blocks": program_flops(b3d_fn, feats, [p[0] for p in parts],
+                                     [p[1] for p in parts]),
+        "bev_backbone2d": program_flops(bev_fn, d3, vox.coords,
+                                        vox.pillar_valid),
+        "center_head": program_flops(head_fn, bev),
+        "decode_filter": program_flops(post_fn, hm),
+        "nms": program_flops(nms_fn, dets.boxes, dets.count),
+    }
+    return timer

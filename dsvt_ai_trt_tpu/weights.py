@@ -170,6 +170,54 @@ def random_raw(cfg: DSVTConfig, seed: int = 0, scale: float = 0.05) -> Raw:
     return raw
 
 
+def calibrated_raw(cfg: DSVTConfig, points, num_points, seed: int = 0,
+                   n_boxes: int = 40) -> Raw:
+    """A structured synthetic checkpoint that produces a *sparse* set of
+    confident detections on the given calibration cloud.
+
+    random_raw alone yields thousands of above-threshold noise detections,
+    so the per-class top-k waterline sits in a dense score region and box
+    membership churns under any numeric perturbation (precision change,
+    accumulation order) — parity can then only be asserted loosely.  Here
+    the heatmap branch bias is shifted so that only ~n_boxes cells clear
+    the 0.3 score threshold: the top-k never truncates, every confident box
+    is far from the waterline, and cross-implementation / cross-precision
+    parity becomes assertable at ~1.0 (VERDICT r1 tasks 1 and 6).
+    """
+    raw = random_raw(cfg, seed)
+    # car-sized boxes: tiny random-weight dims (~exp(0) * noise ~ 0.2 m)
+    # make IoU matching degenerate — a one-cell center flip zeroes the
+    # overlap.  Pin the dim branch to quiet weights + log(car) biases so a
+    # 0.32 m drift keeps IoU >= 0.8 like real detections.
+    rng = np.random.default_rng(seed + 1)
+    wname = "module.dense_head.heads_list.0.dim.1.weight"
+    bname_d = "module.dense_head.heads_list.0.dim.1.bias"
+    raw[wname] = rng.normal(0, 0.005, raw[wname].shape).astype(np.float32)
+    raw[bname_d] = np.log([4.2, 1.9, 1.7]).astype(np.float32)
+    # ... and decisive headings: raw random rot outputs are ~0, so the
+    # decoded atan2 is numerically unstable (a 0.01 logit drift can rotate
+    # a box 45 degrees and sink its IoU) — trained rot heads saturate
+    # cos/sin far from the origin
+    wname_r = "module.dense_head.heads_list.0.rot.1.weight"
+    bname_r = "module.dense_head.heads_list.0.rot.1.bias"
+    raw[wname_r] = rng.normal(0, 0.02, raw[wname_r].shape).astype(np.float32)
+    raw[bname_r] = np.array([0.9, 0.35], np.float32)
+
+    from .model.detector import forward_debug  # local: avoids import cycle
+
+    params = prepare_params(raw, cfg)
+    dbg = forward_debug(params, points, num_points, cfg)
+    logits = np.asarray(dbg.head_out["hm"], np.float64).ravel()
+    kth = np.sort(logits)[-n_boxes]
+    # shift so the n_boxes-th largest logit lands at sigmoid^-1(0.38):
+    # confident boxes sit >=0.08 above the 0.3 threshold, everything else
+    # falls well below it
+    shift = np.log(0.38 / 0.62) - kth
+    bname = f"module.dense_head.heads_list.0.hm.1.bias"
+    raw[bname] = (raw[bname] + np.float32(shift)).astype(np.float32)
+    return raw
+
+
 # ---------------------------------------------------------------------------
 # Loaders
 # ---------------------------------------------------------------------------
@@ -416,3 +464,109 @@ def prepare_params(raw: Raw, cfg: DSVTConfig) -> Dict:
 
 def random_params(cfg: DSVTConfig, seed: int = 0) -> Dict:
     return prepare_params(random_raw(cfg, seed), cfg)
+
+
+# ---------------------------------------------------------------------------
+# Unfolding: compute-ready pytree -> raw checkpoint (for .wts export of
+# trained parameters, keeping the module.* name contract)
+# ---------------------------------------------------------------------------
+
+
+def _identity_bn(c: int, eps: float, shift: np.ndarray) -> Dict[str, np.ndarray]:
+    """BN stats that make the affine exactly (scale=1, shift=shift):
+    running_var = 1 - eps so sqrt(var + eps) == 1."""
+    return {
+        "weight": np.ones(c, np.float32),
+        "bias": np.asarray(shift, np.float32),
+        "running_mean": np.zeros(c, np.float32),
+        "running_var": np.full(c, 1.0 - eps, np.float32),
+    }
+
+
+def unfold_params(params: Dict, cfg: DSVTConfig) -> Raw:
+    """Inverse of prepare_params: a raw state-dict that reproduces the same
+    computation.  BN folds are not uniquely invertible, so folded
+    linear/conv+BN pairs export as (trained weight, identity BN with the
+    trained bias as BN shift) — numerically identical under prepare_params
+    and loadable by the reference's loadWeights_new / the torch oracle."""
+    d = cfg.d_model
+    raw: Raw = {}
+    asnp = lambda t: np.asarray(t, np.float32)
+
+    def lin_bn(prefix_lin, prefix_bn, w, b, eps, with_bias=False):
+        raw[f"{prefix_lin}.weight"] = asnp(w).T.copy()        # [out, in]
+        if with_bias:
+            raw[f"{prefix_lin}.bias"] = np.zeros(w.shape[1], np.float32)
+        for k, v in _identity_bn(w.shape[1], eps, asnp(b)).items():
+            raw[f"{prefix_bn}.{k}"] = v
+
+    def conv_bn(prefix_conv, prefix_bn, w, b, eps):
+        raw[f"{prefix_conv}.weight"] = np.transpose(asnp(w), (3, 2, 0, 1)).copy()
+        for k, v in _identity_bn(w.shape[3], eps, asnp(b)).items():
+            raw[f"{prefix_bn}.{k}"] = v
+
+    lin_bn("module.vfe.pfn_layers.0.linear", "module.vfe.pfn_layers.0.norm",
+           params["vfe"]["l0"]["w"], params["vfe"]["l0"]["b"], cfg.bn1d_eps)
+    lin_bn("module.vfe.pfn_layers.1.linear", "module.vfe.pfn_layers.1.norm",
+           params["vfe"]["l1"]["w"], params["vfe"]["l1"]["b"], cfg.bn1d_eps)
+
+    for b_i in range(cfg.num_blocks):
+        for e in range(2):
+            mlp = params["posembed"][b_i][e]
+            pre = (f"module.backbone_3d.input_layer.posembed_layers.0."
+                   f"{b_i}.{e}.position_embedding_head")
+            lin_bn(f"{pre}.0", f"{pre}.1", mlp["w1"], mlp["b1"], cfg.bn1d_eps,
+                   with_bias=True)
+            raw[f"{pre}.3.weight"] = asnp(mlp["w2"]).T.copy()
+            raw[f"{pre}.3.bias"] = asnp(mlp["b2"])
+
+            enc = params["blocks"][b_i]["enc"][e]
+            pre = f"module.backbone_3d.stage_0.{b_i}.encoder_list.{e}"
+            attn = f"{pre}.win_attn.self_attn"
+            for part, key in (("query", "q"), ("key", "k"), ("value", "v")):
+                raw[f"{attn}.in_proj_weight.{part}"] = asnp(enc[f"w{key}"]).T.copy()
+                raw[f"{attn}.in_proj_bias.{part}"] = asnp(enc[f"b{key}"])
+            raw[f"{attn}.out_proj.weight"] = asnp(enc["wo"]).T.copy()
+            raw[f"{attn}.out_proj.bias"] = asnp(enc["bo"])
+            for ln, key in (("norm1", "ln1"), ("norm2", "ln2")):
+                raw[f"{pre}.win_attn.{ln}.weight"] = asnp(enc[f"{key}_g"])
+                raw[f"{pre}.win_attn.{ln}.bias"] = asnp(enc[f"{key}_b"])
+            raw[f"{pre}.win_attn.linear1.weight"] = asnp(enc["ffn_w1"]).T.copy()
+            raw[f"{pre}.win_attn.linear1.bias"] = asnp(enc["ffn_b1"])
+            raw[f"{pre}.win_attn.linear2.weight"] = asnp(enc["ffn_w2"]).T.copy()
+            raw[f"{pre}.win_attn.linear2.bias"] = asnp(enc["ffn_b2"])
+            raw[f"{pre}.norm.weight"] = asnp(enc["norm_g"])
+            raw[f"{pre}.norm.bias"] = asnp(enc["norm_b"])
+        raw[f"module.backbone_3d.residual_norm_stage_0.{b_i}.weight"] = asnp(
+            params["blocks"][b_i]["res_g"])
+        raw[f"module.backbone_3d.residual_norm_stage_0.{b_i}.bias"] = asnp(
+            params["blocks"][b_i]["res_b"])
+
+    for s, stage in enumerate(params["backbone2d"]["stages"]):
+        for u, unit in enumerate(stage):
+            pre = f"module.backbone_2d.blocks.{s}.{u}"
+            conv_bn(f"{pre}.conv1", f"{pre}.bn1", unit["conv1_w"],
+                    unit["conv1_b"], cfg.bn2d_eps)
+            conv_bn(f"{pre}.conv2", f"{pre}.bn2", unit["conv2_w"],
+                    unit["conv2_b"], cfg.bn2d_eps)
+            if "down_w" in unit:
+                conv_bn(f"{pre}.downsample_layer.0", f"{pre}.downsample_layer.1",
+                        unit["down_w"], unit["down_b"], cfg.bn2d_eps)
+    for s, de in enumerate(params["backbone2d"]["deblocks"]):
+        pre = f"module.backbone_2d.deblocks.{s}"
+        raw[f"{pre}.0.weight"] = asnp(de["w"]).copy()  # already [in,out,k,k]
+        for k, v in _identity_bn(de["w"].shape[1], cfg.bn2d_eps,
+                                 asnp(de["b"])).items():
+            raw[f"{pre}.1.{k}"] = v
+
+    head = params["head"]
+    conv_bn("module.dense_head.shared_conv.0", "module.dense_head.shared_conv.1",
+            head["shared_w"], head["shared_b"], cfg.bn2d_eps)
+    for name, _c in head_branches(cfg):
+        pre = f"module.dense_head.heads_list.0.{name}"
+        conv_bn(f"{pre}.0.0", f"{pre}.0.1", head[name]["w0"], head[name]["b0"],
+                cfg.bn2d_eps)
+        raw[f"{pre}.1.weight"] = np.transpose(
+            asnp(head[name]["w1"]), (3, 2, 0, 1)).copy()
+        raw[f"{pre}.1.bias"] = asnp(head[name]["b1"])
+    return raw

@@ -19,8 +19,7 @@ import pytest
 from dsvt_ai_trt_tpu.config import DSVTConfig, WindowSpec
 
 
-@pytest.fixture(scope="session")
-def tiny_cfg() -> DSVTConfig:
+def tiny_config() -> DSVTConfig:
     """Small config for fast CPU tests; same structure as the default."""
     return DSVTConfig(
         max_points=2048,
@@ -47,6 +46,11 @@ def tiny_cfg() -> DSVTConfig:
         num_classes=3,
         top_k=64,
     )
+
+
+@pytest.fixture(scope="session")
+def tiny_cfg() -> DSVTConfig:
+    return tiny_config()
 
 
 @pytest.fixture()

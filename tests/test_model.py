@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 
 from dsvt_ai_trt_tpu import weights
@@ -80,6 +81,7 @@ def test_nms_in_graph(tiny_cfg, rng):
     assert np.isfinite(np.asarray(d.boxes)).all()
 
 
+@pytest.mark.slow
 def test_batch_forward_matches_single(tiny_cfg, rng):
     from dsvt_ai_trt_tpu.model.detector import forward_batch
     cfg = tiny_cfg

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from dsvt_ai_trt_tpu.ops.nms import pairwise_rotated_overlap, nms
@@ -71,6 +72,7 @@ def test_nms_matches_oracle(rng):
     np.testing.assert_allclose(mine_sorted, ref_sorted, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_clip_overlap_matches_reference_algorithm(rng):
     from dsvt_ai_trt_tpu.ops.nms import pairwise_overlap_clip
     n = 32
@@ -83,6 +85,7 @@ def test_clip_overlap_matches_reference_algorithm(rng):
     np.testing.assert_allclose(fast, ref, atol=5e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_pallas_overlap_matches_clip(rng):
     from dsvt_ai_trt_tpu.ops.nms import pairwise_overlap_clip
     from dsvt_ai_trt_tpu.ops.nms_pallas import pairwise_overlap_pallas

@@ -34,6 +34,7 @@ def test_dp_engine_matches_single_device(tiny_cfg, rng, mesh8):
                                    np.asarray(ref.boxes), atol=2e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_reduces_loss(tiny_cfg, rng, mesh8):
     cfg = tiny_cfg
     params = shard_params(weights.random_params(cfg, seed=2), mesh8)
@@ -54,6 +55,7 @@ def test_train_step_runs_and_reduces_loss(tiny_cfg, rng, mesh8):
     assert float(loss) < loss0  # optimization makes progress
 
 
+@pytest.mark.slow
 def test_gradients_flow_to_all_components(tiny_cfg, rng):
     cfg = tiny_cfg
     params = weights.random_params(cfg, seed=2)

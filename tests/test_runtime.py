@@ -21,6 +21,7 @@ def _write_frames(tmp_path, rng, cfg, k=2):
     return paths
 
 
+@pytest.mark.slow
 def test_engine_serialization_roundtrip(tiny_cfg, rng, tmp_path):
     """The -s / -d split: serialized engine == jit path, bit for bit."""
     cfg = tiny_cfg
@@ -60,6 +61,7 @@ def test_run_frames_writes_reference_format(tiny_cfg, rng, tmp_path):
         assert len(boxes) == r["count"]
 
 
+@pytest.mark.slow
 def test_run_frames_host_nms_matches_device_counts(tiny_cfg, rng, tmp_path):
     """Device NMS and host NMS must agree on the kept box set."""
     cfg = tiny_cfg

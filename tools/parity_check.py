@@ -20,14 +20,20 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from dsvt_ai_trt_tpu.config import DEFAULT_CONFIG  # noqa: E402
 from dsvt_ai_trt_tpu import weights  # noqa: E402
-from dsvt_ai_trt_tpu.eval import match_boxes  # noqa: E402
+from dsvt_ai_trt_tpu.eval import match_boxes, coverage  # noqa: E402
 from dsvt_ai_trt_tpu.io.pointcloud import load_bin, frame_paths  # noqa: E402
 from dsvt_ai_trt_tpu.model.detector import forward_jit  # noqa: E402
 from dsvt_ai_trt_tpu.runtime.compile import enable_persistent_cache  # noqa: E402
 
 
 def boxes_for(cfg, params, pts, n, min_score=0.0):
-    dets = forward_jit(params, pts, n, cfg, True)
+    # pre-NMS: the reference engine's output binding is the filtered box set
+    # (filterBoxByScore.cu:266-309); NMS is host post-processing there.
+    # Greedy NMS at IoU 0.01 collapses whole clusters to one survivor, and
+    # *which* candidate survives flips under any precision change (score
+    # order inside a cluster) — survivor churn is order noise, not numeric
+    # divergence, so parity gates on the engine-output surface.
+    dets = forward_jit(params, pts, n, cfg, False)
     boxes = np.asarray(dets.boxes)[: int(dets.count)]
     return boxes[boxes[:, 8] >= min_score]
 
@@ -38,7 +44,6 @@ def main():
     cfg32 = DEFAULT_CONFIG
     approx = os.environ.get("DSVT_PARITY_APPROX", "1") == "1"
     cfg_fast = dataclasses.replace(cfg32, precision=fast, approx_topk=approx)
-    params = weights.random_params(cfg32, seed=0)
 
     data = os.environ.get("DSVT_BENCH_DATA", "/root/reference/data/bin")
     n_frames = int(os.environ.get("DSVT_PARITY_FRAMES", "3"))
@@ -59,26 +64,57 @@ def main():
         if digest not in seen:
             seen.add(digest)
             distinct.append(path)
+
+    # checkpoint: "calibrated" (default) plants a sparse confident-box set
+    # so parity asserts at ~1.0; "random" keeps the raw random checkpoint
+    # whose dense noise detections intrinsically churn at the top-k
+    # waterline (documented rank noise; pass threshold 0.85)
+    ckpt_mode = os.environ.get("DSVT_PARITY_CKPT", "calibrated")
+    if ckpt_mode == "calibrated":
+        pts0, n0 = load_bin(distinct[0], cfg32.max_points)
+        raw = weights.calibrated_raw(cfg32, pts0, n0, seed=0, n_boxes=40)
+        params = weights.prepare_params(raw, cfg32)
+        # exact top-k: precision change only -> sharp 0.99 gate.  With the
+        # approx_max_k fast path the candidate search itself guarantees only
+        # recall_target=0.95 (ops/postprocess.py), so that is the gate.
+        pass_recall = 0.95 if approx else 0.99
+    else:
+        params = weights.random_params(cfg32, seed=0)
+        pass_recall = 0.85
+
     for path in distinct[:n_frames]:
         pts, n = load_bin(path, cfg32.max_points)
-        ref = boxes_for(cfg32, params, pts, n, min_score)
-        got = boxes_for(cfg_fast, params, pts, n, min_score)
-        stats = match_boxes(got, ref, iou_threshold=0.5)
-        stats["frame"] = os.path.basename(path)
+        ref_all = boxes_for(cfg32, params, pts, n)
+        got_all = boxes_for(cfg_fast, params, pts, n)
+        ref_conf = ref_all[ref_all[:, 8] >= min_score]
+        got_conf = got_all[got_all[:, 8] >= min_score]
+        # asymmetric coverage: every *confident* box on one side must exist
+        # on the other side at all (score >= 0.3).  Filtering both sides at
+        # the margin would re-create threshold churn at 0.3+margin, and
+        # exclusive 1:1 matching under-counts on clustered near-duplicates
+        # (eval.coverage docstring).
+        r = coverage(ref_conf, got_all, iou_threshold=0.5)   # recall side
+        p = coverage(got_conf, ref_all, iou_threshold=0.5)   # precision side
+        stats = {"frame": os.path.basename(path),
+                 "n_conf_ref": len(ref_conf), "n_conf_pred": len(got_conf),
+                 "recall": r["coverage"], "precision": p["coverage"],
+                 "max_score_err": max(r["max_score_err"], p["max_score_err"]),
+                 "max_center_err": max(r["max_center_err"], p["max_center_err"])}
         print(json.dumps(stats))
         worst["recall"] = min(worst["recall"], stats["recall"])
         worst["precision"] = min(worst["precision"], stats["precision"])
         worst["score_err"] = max(worst["score_err"], stats["max_score_err"])
         worst["center_err"] = max(worst["center_err"], stats["max_center_err"])
     # Pass criterion: matched boxes must agree tightly (scores within 0.03,
-    # centers within 0.3 m) and most boxes must match.  With *random*
-    # weights every "detection" is a ~4-sigma noise event, so the top-500
-    # ranking is intrinsically unstable under any precision change — ~10%
-    # set churn with <2% score deviation is rank noise, not divergence; a
-    # trained model's strong peaks are robust and would match ~fully.
-    ok = (worst["recall"] >= 0.85 and worst["precision"] >= 0.85
+    # centers within 0.3 m).  With the calibrated checkpoint the confident
+    # boxes sit far from both the top-k waterline and the score threshold,
+    # so recall/precision must be ~1.0; with DSVT_PARITY_CKPT=random every
+    # "detection" is a ~4-sigma noise event and ~10% top-500 rank churn is
+    # intrinsic, hence the looser 0.85 gate in that mode.
+    ok = (worst["recall"] >= pass_recall and worst["precision"] >= pass_recall
           and worst["score_err"] <= 0.03 and worst["center_err"] <= 0.3)
-    print(json.dumps({"precision_mode": fast, "worst": worst, "parity_ok": ok}))
+    print(json.dumps({"precision_mode": fast, "ckpt": ckpt_mode,
+                      "worst": worst, "parity_ok": ok}))
     sys.exit(0 if ok else 1)
 
 

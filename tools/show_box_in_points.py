@@ -61,6 +61,52 @@ def render_frame(points: np.ndarray, boxes: np.ndarray, path: str,
     plt.close(fig)
 
 
+def box_corners_3d(row: np.ndarray) -> np.ndarray:
+    """8 xyz corners for one result row, bottom face first.
+
+    Same convention as the reference viewer's compute_box_3d
+    (tools/show_box_in_points.py:12-54 there: rotz(-rt), z at box bottom,
+    l<->w swapped into the txt row by helper.h:470-481)."""
+    x, y, z, l, w, h = row[:6]
+    rt = row[6]
+    ox = np.array([-w, w, w, -w, -w, w, w, -w]) / 2
+    oy = np.array([-l, -l, l, l, -l, -l, l, l]) / 2
+    oz = np.array([0.0, 0, 0, 0, h, h, h, h])
+    c, s = np.cos(rt), np.sin(rt)
+    return np.stack([ox * c - oy * s + x, ox * s + oy * c + y, oz + z], -1)
+
+
+_BOX_EDGES = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7), (7, 4),
+              (0, 4), (1, 5), (2, 6), (3, 7)]
+
+
+def render_frame_3d(points: np.ndarray, boxes: np.ndarray, path: str,
+                    title: str = "", max_points: int = 30000) -> None:
+    """Headless 3D counterpart of the Mayavi scene: point cloud scatter with
+    box wireframes (the reference's draw_gt_boxes3d, mayavi_tool/viz_util.py:94)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    pts = points[:: max(1, len(points) // max_points)]
+    fig = plt.figure(figsize=(12, 9))
+    ax = fig.add_subplot(projection="3d")
+    ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=0.1, c=pts[:, 2],
+               cmap="viridis", alpha=0.4, linewidths=0)
+    for row in boxes:
+        corners = box_corners_3d(row)
+        for a, b in _BOX_EDGES:
+            ax.plot(*zip(corners[a], corners[b]), "r-", linewidth=1.0)
+    ax.set_title(title)
+    ax.set_xlim(-60, 60)
+    ax.set_ylim(-60, 60)
+    ax.set_zlim(-5, 10)
+    ax.set_box_aspect((1, 1, 0.12))
+    ax.view_init(elev=35, azim=-60)
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="/root/reference/data/bin")
@@ -68,6 +114,8 @@ def main():
     ap.add_argument("--save-dir", default="viz")
     ap.add_argument("--json", action="store_true",
                     help="also dump box corners as json")
+    ap.add_argument("--three-d", action="store_true",
+                    help="also render a 3D wireframe view per frame")
     args = ap.parse_args()
 
     os.makedirs(args.save_dir, exist_ok=True)
@@ -81,6 +129,10 @@ def main():
         out_png = os.path.join(args.save_dir, name + ".png")
         render_frame(pts[:n], boxes, out_png,
                      title=f"{name}: {len(boxes)} boxes, {seconds*1e3:.1f} ms")
+        if args.three_d:
+            render_frame_3d(pts[:n], boxes,
+                            os.path.join(args.save_dir, name + "_3d.png"),
+                            title=f"{name}: {len(boxes)} boxes")
         if args.json:
             corners = {str(i): box_corners_bev(b).tolist()
                        for i, b in enumerate(boxes)}
