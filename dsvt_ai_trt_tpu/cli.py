@@ -127,6 +127,51 @@ def cmd_eval(args):
     print(json.dumps(agg))
 
 
+def cmd_train(args):
+    """Train on synthetic planted-object scenes (the reference has no
+    training path at all — its README says retrain upstream; here the loss,
+    step, target assigner, and checkpointing are first-class, and the
+    trained weights export straight back to .wts via weights.unfold_params)."""
+    import jax
+    import numpy as np
+    from . import weights
+    from .data import synthetic_batch
+    from .parallel.training import (make_train_step, save_train_state,
+                                    load_train_state)
+    from .runtime.compile import enable_persistent_cache
+
+    cfg = _load_cfg(args)
+    enable_persistent_cache()
+    params = _load_params(args, cfg)
+    optimizer, train_step = make_train_step(cfg)
+    opt_state = optimizer.init(params)
+    step0 = 0
+    if args.resume and os.path.exists(args.resume):
+        params, opt_state, step0 = load_train_state(args.resume, params, opt_state)
+        logging.info("resumed from %s at step %d", args.resume, step0)
+    train_jit = jax.jit(train_step)
+
+    rng = np.random.default_rng(args.seed)
+    first = last = None
+    for step in range(step0, step0 + args.steps):
+        pts, ns, targets = synthetic_batch(rng, cfg, args.batch)
+        params, opt_state, loss = train_jit(params, opt_state, pts, ns, targets)
+        loss = float(loss)
+        first = loss if first is None else first
+        last = loss
+        logging.info("step %d loss %.4f", step, loss)
+        if args.ckpt and (step + 1) % args.ckpt_every == 0:
+            save_train_state(args.ckpt, params, opt_state, step + 1)
+    if args.ckpt:
+        save_train_state(args.ckpt, params, opt_state, step0 + args.steps)
+        print(f"checkpoint -> {args.ckpt}")
+    if args.export_wts:
+        weights.save_wts(weights.unfold_params(jax.device_get(params), cfg),
+                         args.export_wts)
+        print(f"trained weights -> {args.export_wts}")
+    print(json.dumps({"steps": args.steps, "loss_first": first, "loss_last": last}))
+
+
 def cmd_stats(args):
     """Occupancy vs the static caps — padding-headroom validation
     (SURVEY §5 metrics row)."""
@@ -191,6 +236,17 @@ def main(argv=None):
     p = sub.add_parser("stats", help="per-frame occupancy vs static caps")
     common(p, data=True)
     p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser("train", help="train on synthetic planted scenes")
+    common(p)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt", default="train_state.npz")
+    p.add_argument("--ckpt-every", type=int, default=10)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--export-wts", default=None)
+    p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval", help="order-insensitive box comparison of two output dirs")
     p.add_argument("--pred", required=True)

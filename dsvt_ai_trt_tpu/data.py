@@ -1,0 +1,179 @@
+"""Ground-truth target assignment + synthetic LiDAR scenes for training.
+
+The reference repo is inference-only; training happens in the upstream DSVT
+repo whose CenterPoint head consumes gaussian heatmap targets.  This module
+is the TPU build's dataloader-side counterpart of that assigner
+(CenterPoint's ``assign_target_of_single_head``): GT boxes -> dense heatmap
+/ regression / mask maps matching our head's decode conventions
+(ops/postprocess.py: x = (xs + center)*vx + xmin, dim = exp(dim),
+heading = atan2(rot[1], rot[0])).
+
+Target assignment runs on the host in NumPy (it is data preparation, one
+pass per frame, like the torch dataloader), while the train step consumes
+the resulting dense arrays on device.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from .config import DSVTConfig
+
+# GT box layout: (x, y, z, dx, dy, dz, heading, class_id)
+GT_DIMS = 8
+
+
+def gaussian_radius(height: float, width: float,
+                    min_overlap: float = 0.1) -> float:
+    """CornerNet/CenterPoint gaussian radius for a (h, w) feature-map box."""
+    a1 = 1
+    b1 = height + width
+    c1 = width * height * (1 - min_overlap) / (1 + min_overlap)
+    sq1 = np.sqrt(max(b1 ** 2 - 4 * a1 * c1, 0))
+    r1 = (b1 + sq1) / 2
+
+    a2 = 4
+    b2 = 2 * (height + width)
+    c2 = (1 - min_overlap) * width * height
+    sq2 = np.sqrt(max(b2 ** 2 - 4 * a2 * c2, 0))
+    r2 = (b2 + sq2) / 2
+
+    a3 = 4 * min_overlap
+    b3 = -2 * min_overlap * (height + width)
+    c3 = (min_overlap - 1) * width * height
+    sq3 = np.sqrt(max(b3 ** 2 - 4 * a3 * c3, 0))
+    r3 = (b3 + sq3) / 2
+    return min(r1, r2, r3)
+
+
+def _draw_gaussian(heatmap: np.ndarray, cx: int, cy: int, radius: int) -> None:
+    """Splat a 2D gaussian peak (in place) clipped to the map bounds."""
+    d = 2 * radius + 1
+    sigma = d / 6.0
+    ys, xs = np.ogrid[-radius:radius + 1, -radius:radius + 1]
+    g = np.exp(-(xs * xs + ys * ys) / (2 * sigma * sigma))
+    g[g < np.finfo(g.dtype).eps * g.max()] = 0
+
+    H, W = heatmap.shape
+    t, b = min(cy, radius), min(H - cy, radius + 1)
+    l, r = min(cx, radius), min(W - cx, radius + 1)
+    if t + b <= 0 or l + r <= 0:
+        return
+    view = heatmap[cy - t:cy + b, cx - l:cx + r]
+    np.maximum(view, g[radius - t:radius + b, radius - l:radius + r], out=view)
+
+
+def assign_targets(gt_boxes: np.ndarray, cfg: DSVTConfig,
+                   min_overlap: float = 0.1, min_radius: int = 2):
+    """GT boxes [M, 8] -> (heatmap [H,W,ncls], reg [H,W,8], mask [H,W]).
+
+    reg layout matches the head branch concat consumed by
+    parallel.training.detection_loss: (center 2, center_z 1, log-dim 3,
+    rot cos/sin 2)."""
+    H, W = cfg.grid_size[1], cfg.grid_size[0]
+    vx, vy, _vz = cfg.voxel_size
+    xmin, ymin, _zmin = cfg.pc_range_min
+
+    heatmap = np.zeros((H, W, cfg.num_classes), np.float32)
+    reg = np.zeros((H, W, 8), np.float32)
+    mask = np.zeros((H, W), np.float32)
+
+    for box in np.asarray(gt_boxes, np.float32):
+        x, y, z, dx, dy, dz, heading, cls = box[:GT_DIMS]
+        fx = (x - xmin) / vx
+        fy = (y - ymin) / vy
+        ix, iy = int(np.floor(fx)), int(np.floor(fy))
+        if not (0 <= ix < W and 0 <= iy < H) or dx <= 0 or dy <= 0:
+            continue
+        radius = gaussian_radius(dy / vy, dx / vx, min_overlap)
+        radius = max(min_radius, int(radius))
+        _draw_gaussian(heatmap[:, :, int(cls)], ix, iy, radius)
+        heatmap[iy, ix, int(cls)] = 1.0
+        reg[iy, ix] = (fx - ix, fy - iy, z,
+                       np.log(dx), np.log(dy), np.log(dz),
+                       np.cos(heading), np.sin(heading))
+        mask[iy, ix] = 1.0
+    return heatmap, reg, mask
+
+
+# ---------------------------------------------------------------------------
+# Synthetic planted-object scenes
+# ---------------------------------------------------------------------------
+
+
+def _box_surface_points(rng, box, n: int) -> np.ndarray:
+    """Sample LiDAR-ish points on the vertical walls + top of a box."""
+    x, y, z, dx, dy, dz, heading = box[:7]
+    u = rng.uniform(-0.5, 0.5, n)
+    v = rng.uniform(-0.5, 0.5, n)
+    face = rng.integers(0, 5, n)
+    px = np.where(face == 0, -0.5, np.where(face == 1, 0.5, u)) * dx
+    py = np.where(face == 2, -0.5, np.where(face == 3, 0.5, u)) * dy
+    py = np.where(face < 2, v * dy, py)
+    pz = np.where(face == 4, 0.5 * dz, rng.uniform(-0.5, 0.5, n) * dz)
+    c, s = np.cos(heading), np.sin(heading)
+    gx = x + px * c - py * s
+    gy = y + px * s + py * c
+    gz = z + pz
+    return np.stack([gx, gy, gz], axis=1).astype(np.float32)
+
+
+def synthetic_scene(rng, cfg: DSVTConfig, n_objects: int = 6,
+                    n_ground: int = 6000, pts_per_obj: int = 150
+                    ) -> Tuple[np.ndarray, np.int32, np.ndarray]:
+    """One planted scene: ground-plane clutter + boxes with surface points.
+
+    Returns (points [max_points, 4] zero-padded, count, gt_boxes [M, 8])."""
+    lo = np.array(cfg.pc_range_min, np.float32)
+    hi = np.array(cfg.pc_range_max, np.float32)
+    span = (hi - lo) * 0.9
+
+    ground = np.zeros((n_ground, 4), np.float32)
+    ground[:, :2] = rng.uniform(lo[:2] + 0.05 * span[:2],
+                                lo[:2] + 0.95 * span[:2], (n_ground, 2))
+    ground[:, 2] = rng.normal(-1.6, 0.05, n_ground)
+    ground[:, 3] = rng.uniform(0, 0.3, n_ground)
+
+    boxes, clouds = [], [ground]
+    for _ in range(n_objects):
+        cls = int(rng.integers(0, cfg.num_classes))
+        dims = rng.uniform([1.6, 3.5, 1.4], [2.2, 5.0, 1.9])  # car-ish (w,l,h)
+        ctr = rng.uniform(lo[:2] * 0.5, hi[:2] * 0.5)
+        heading = rng.uniform(-np.pi, np.pi)
+        box = np.array([ctr[0], ctr[1], -1.0, dims[1], dims[0], dims[2],
+                        heading, cls], np.float32)
+        pts = _box_surface_points(rng, box, pts_per_obj)
+        cloud = np.concatenate(
+            [pts, rng.uniform(0.3, 1.0, (pts_per_obj, 1)).astype(np.float32)],
+            axis=1)
+        boxes.append(box)
+        clouds.append(cloud)
+
+    cloud = np.concatenate(clouds)
+    rng.shuffle(cloud, axis=0)
+    n = min(len(cloud), cfg.max_points)
+    buf = np.zeros((cfg.max_points, 4), np.float32)
+    buf[:n] = cloud[:n]
+    return buf, np.int32(n), np.stack(boxes) if boxes else np.zeros((0, 8), np.float32)
+
+
+def synthetic_batch(rng, cfg: DSVTConfig, batch: int, **kw):
+    """Batch of planted scenes + assigned dense targets (host-side)."""
+    from .parallel.training import Targets
+    import jax.numpy as jnp
+
+    pts, ns, hms, regs, masks = [], [], [], [], []
+    for _ in range(batch):
+        buf, n, gt = synthetic_scene(rng, cfg, **kw)
+        hm, reg, mask = assign_targets(gt, cfg)
+        pts.append(buf)
+        ns.append(n)
+        hms.append(hm)
+        regs.append(reg)
+        masks.append(mask)
+    return (jnp.asarray(np.stack(pts)), jnp.asarray(np.stack(ns)),
+            Targets(heatmap=jnp.asarray(np.stack(hms)),
+                    reg=jnp.asarray(np.stack(regs)),
+                    mask=jnp.asarray(np.stack(masks))))

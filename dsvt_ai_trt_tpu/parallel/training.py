@@ -84,6 +84,40 @@ def make_train_step(cfg: DSVTConfig, optimizer=None):
     return optimizer, train_step
 
 
+def save_train_state(path: str, params, opt_state, step: int = 0) -> None:
+    """Checkpoint params + optimizer state (VERDICT r1 task 7).
+
+    Flat npz keyed by pytree paths: no pickle, loadable anywhere.  The
+    reference's only checkpoint artifacts are the .wts dump and the
+    serialized engine (SURVEY §5); training state is a new capability."""
+    import numpy as np
+
+    flat = {}
+    for tree, tag in ((params, "p"), (opt_state, "o")):
+        leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
+        for keypath, leaf in leaves_with_paths:
+            flat[f"{tag}:{jax.tree_util.keystr(keypath)}"] = np.asarray(leaf)
+    flat["step"] = np.int64(step)
+    np.savez(path, **flat)
+
+
+def load_train_state(path: str, params_template, opt_state_template):
+    """Restore (params, opt_state, step) into the templates' structure."""
+    import numpy as np
+
+    data = np.load(path)
+    out = []
+    for tree, tag in ((params_template, "p"), (opt_state_template, "o")):
+        paths, treedef = jax.tree_util.tree_flatten_with_path(tree)
+        leaves = []
+        for keypath, leaf in paths:
+            arr = data[f"{tag}:{jax.tree_util.keystr(keypath)}"]
+            assert arr.shape == jnp.shape(leaf), (keypath, arr.shape)
+            leaves.append(jnp.asarray(arr, dtype=jnp.asarray(leaf).dtype))
+        out.append(jax.tree_util.tree_unflatten(treedef, leaves))
+    return out[0], out[1], int(data["step"])
+
+
 def random_targets(rng, cfg: DSVTConfig, batch: int) -> Targets:
     """Synthetic targets for smoke/dryrun tests."""
     import numpy as np
