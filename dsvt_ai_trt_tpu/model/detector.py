@@ -53,8 +53,10 @@ def forward(params: Dict, points: jax.Array, num_points: jax.Array,
     bev = constrain_bev(map_to_bev(feats, pillars.coords, pillars.pillar_valid,
                                    (cfg.grid_size[1], cfg.grid_size[0])))
     bev = backbone2d_forward(bev, params["backbone2d"], precision)
-    head_out = head_forward(bev, params["head"], precision)
-    dets = decode_and_filter(head_out, cfg)
+    # lazy head: full-map convs only for the heatmap; regression branches
+    # evaluate at the top-k cells inside decode (model/head.py docstring)
+    head_out = head_forward(bev, params["head"], precision, lazy=True)
+    dets = decode_and_filter(head_out, cfg, head_params=params["head"])
     if with_nms:
         boxes, count = nms_ops.nms(
             dets.boxes, dets.count, cfg.nms_threshold,

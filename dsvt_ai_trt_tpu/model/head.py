@@ -29,35 +29,42 @@ from .backbone2d import _conv
 
 
 def head_forward(features: jax.Array, params: dict, precision: str = "fp32",
-                 cfg: DSVTConfig = None) -> Dict[str, jax.Array]:
-    """features: [H, W, 384] -> dict of [H, W, c] maps."""
+                 cfg: DSVTConfig = None, lazy: bool = False) -> Dict[str, jax.Array]:
+    """features: [H, W, 384] -> dict of [H, W, c] maps.
+
+    lazy=True computes full maps only for the heatmap (the top-k source);
+    it returns {"hm", "shared"} and the regression branches are evaluated
+    at just the selected cells inside decode (ops/postprocess.py,
+    decode_lazy_branches).  Full-map regression convs cost ~10 ms/frame on
+    the 468^2 grid because every small-c conv pads its output to the
+    128-lane MXU width; only top_k=500 of the 219K cells are ever read.
+    """
     branches = head_branches(cfg) if cfg is not None else _infer_branches(params)
 
     shared = constrain_bev(jnp.maximum(
         _conv(features, params["shared_w"], params["shared_b"], 1, precision), 0.0))
+
+    if lazy:
+        hm_hidden = jnp.maximum(
+            _conv(shared, params["hm"]["w0"], params["hm"]["b0"], 1, precision), 0.0)
+        hm = _conv(hm_hidden, params["hm"]["w1"], params["hm"]["b1"], 1, precision)
+        return {"hm": hm, "shared": shared}
 
     hidden_c = params[branches[0][0]]["w0"].shape[-1]
     w0 = jnp.concatenate([params[n]["w0"] for n, _ in branches], axis=-1)
     b0 = jnp.concatenate([params[n]["b0"] for n, _ in branches], axis=-1)
     hidden = constrain_bev(jnp.maximum(_conv(shared, w0, b0, 1, precision), 0.0))
 
-    total_out = sum(c for _, c in branches)
-    total_in = hidden_c * len(branches)
-    k = params[branches[0][0]]["w1"].shape[0]
-    w1 = jnp.zeros((k, k, total_in, total_out), jnp.float32)
-    b1 = jnp.concatenate([params[n]["b1"] for n, _ in branches], axis=-1)
-    in_off, out_off = 0, 0
-    for name, c in branches:
-        w1 = w1.at[:, :, in_off:in_off + hidden_c,
-                   out_off:out_off + c].set(params[name]["w1"])
-        in_off += hidden_c
-        out_off += c
-    fused = constrain_bev(_conv(hidden, w1, b1, 1, precision))
-
-    out, off = {}, 0
-    for name, c in branches:
-        out[name] = fused[..., off:off + c]
-        off += c
+    # final convs run per branch on each branch's own 64-channel hidden
+    # slice.  The round-1 "fusion" into one zero-padded block-diagonal
+    # 384->19 conv cost 6x the FLOPs on top of N=19 lane padding — profiled
+    # at 10 ms/frame, the single hottest op in the pipeline; grouped conv
+    # (feature_group_count=6) lowers even worse on TPU (measured 45 ms).
+    out = {}
+    for b, (name, c) in enumerate(branches):
+        h = hidden[:, :, b * hidden_c:(b + 1) * hidden_c]
+        out[name] = _conv(h, params[name]["w1"], params[name]["b1"], 1,
+                          precision)
     return out
 
 

@@ -37,6 +37,19 @@ def cell_edges(vmin: float, vsize: float, n: int):
         np.float32)
 
 
+def _edge_bin(v, edges, vmin, vsize, n):
+    """Exact edge-table binning in O(1): the fp32 floor quotient lands
+    within +-1 of the true bin (quotient error is a few ulps, far below one
+    cell), then one exact comparison against the two adjacent edges settles
+    it.  Equivalent to searchsorted(edges, v, 'right') - 1 on in-range
+    values, but two gathers instead of a log2(n)-step scan."""
+    q = jnp.clip(jnp.floor((v - vmin) / vsize).astype(jnp.int32), 0, n - 1)
+    lo = edges[q]
+    hi = edges[q + 1]
+    q = jnp.where(v < lo, q - 1, jnp.where(v >= hi, q + 1, q))
+    return jnp.clip(q, 0, n - 1)
+
+
 class Pillars(NamedTuple):
     """Static-shaped pillar decomposition of one frame.
 
@@ -92,18 +105,23 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
     # torch oracle applies the identical rule (tools/torch_oracle.py).
     edges_x = jnp.asarray(cell_edges(xmin, vx, gx))
     edges_y = jnp.asarray(cell_edges(ymin, vy, gy))
-    ix = jnp.searchsorted(edges_x, x, side="right").astype(jnp.int32) - 1
-    iy = jnp.searchsorted(edges_y, y, side="right").astype(jnp.int32) - 1
-    ix = jnp.clip(ix, 0, gx - 1)
-    iy = jnp.clip(iy, 0, gy - 1)
+    ix = _edge_bin(x, edges_x, xmin, vx, gx)
+    iy = _edge_bin(y, edges_y, ymin, vy, gy)
     cell = jnp.where(valid, iy * gx + ix, jnp.int32(gx * gy))  # sentinel last
 
     # group points by pillar: one stable sort keyed on the cell id keeps
-    # file order within each pillar (deterministic cap semantics)
+    # file order within each pillar (deterministic cap semantics).
+    # Index ops at this size are latency-bound per OP, not per byte (a 1-col
+    # gather costs more than a 5-col row gather), so the cell id rides along
+    # in the point row: ONE [N, 5] gather, and validity is re-derived from
+    # the sentinel instead of gathered.
+    sentinel = jnp.int32(gx * gy)
     order = jnp.argsort(cell, stable=True)
-    s_cell = cell[order]
-    s_valid = valid[order]
-    s_pts = points[order]
+    packed = jnp.concatenate(
+        [points, cell.astype(jnp.float32)[:, None]], axis=1)[order]
+    s_pts = packed[:, :4]
+    s_cell = packed[:, 4].astype(jnp.int32)
+    s_valid = s_cell != sentinel
 
     # rank within pillar + the 48-point cap, computed on the FULL stream.
     # The cap must come before the 30000-row compaction: the reference caps
@@ -121,11 +139,19 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
     capped = s_valid & (rank_full < CAP)
 
     # compact capped points to the front (stable: cell order preserved),
-    # then truncate to the compacted capacity (MAX_POINTS_NUM_1, params.h:25)
-    compact = jnp.argsort(jnp.where(capped, 0, 1), stable=True)
-    s_cell = jnp.where(capped, s_cell, jnp.int32(gx * gy))[compact][:P1]
-    s_valid = capped[compact][:P1]
-    s_pts = s_pts[compact][:P1]
+    # then truncate to the compacted capacity (MAX_POINTS_NUM_1, params.h:25).
+    # Destination = running count of capped rows: one O(N) scatter instead
+    # of a second argsort (TPU sorts are bitonic and dominate this stage)
+    dest = jnp.cumsum(capped.astype(jnp.int32)) - 1
+    dest = jnp.where(capped & (dest < P1), dest, P1)
+    fill = jnp.zeros((P1 + 1, 5), jnp.float32).at[:, 4].set(
+        jnp.float32(gx * gy))
+    compacted = fill.at[dest].set(
+        jnp.concatenate([s_pts, s_cell.astype(jnp.float32)[:, None]], axis=1),
+        mode="drop")[:P1]
+    s_pts = compacted[:, :4]
+    s_cell = compacted[:, 4].astype(jnp.int32)
+    s_valid = s_cell != sentinel
 
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_cell[:-1]])
     new_pillar = s_valid & (s_cell != prev)
@@ -145,12 +171,15 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
     coords = jnp.stack([coords_flat // gx, coords_flat % gx], axis=-1)  # (iy, ix)
     coords = jnp.where(pillar_valid[:, None], coords, 0)
 
-    # per-pillar counts and cluster means over the capped membership
-    ones = kept.astype(jnp.float32)
-    counts = jnp.zeros((P + 1,), jnp.float32).at[point_pillar].add(ones, mode="drop")
-    xyz = jnp.where(kept[:, None], s_pts[:, :3], 0.0)
-    sums = jnp.zeros((P + 1, 3), jnp.float32).at[point_pillar].add(xyz, mode="drop")
-    means = sums / jnp.maximum(counts[:, None], 1.0)
+    # per-pillar counts and cluster means over the capped membership — one
+    # fused [ones | xyz] scatter-add instead of two
+    ones_xyz = jnp.where(kept[:, None],
+                         jnp.concatenate([jnp.ones((P1, 1), jnp.float32),
+                                          s_pts[:, :3]], axis=1), 0.0)
+    acc = jnp.zeros((P + 1, 4), jnp.float32).at[point_pillar].add(
+        ones_xyz, mode="drop")
+    counts = acc[:, 0]
+    means = acc[:, 1:] / jnp.maximum(counts[:, None], 1.0)
 
     # 10-dim features (points2Features.cu:838-861):
     # [x, y, z, intensity, d_cluster(3), d_center(3)] — the cell index is
@@ -158,9 +187,9 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
     # using the same edge-table rule as the binning above
     m = means[point_pillar]
     edges_z = jnp.asarray(cell_edges(zmin, vz, _gz))
-    s_ix = jnp.searchsorted(edges_x, s_pts[:, 0], side="right").astype(jnp.float32) - 1
-    s_iy = jnp.searchsorted(edges_y, s_pts[:, 1], side="right").astype(jnp.float32) - 1
-    s_iz = jnp.searchsorted(edges_z, s_pts[:, 2], side="right").astype(jnp.float32) - 1
+    s_ix = _edge_bin(s_pts[:, 0], edges_x, xmin, vx, gx).astype(jnp.float32)
+    s_iy = _edge_bin(s_pts[:, 1], edges_y, ymin, vy, gy).astype(jnp.float32)
+    s_iz = _edge_bin(s_pts[:, 2], edges_z, zmin, vz, _gz).astype(jnp.float32)
     cx = (s_ix + 0.5) * vx + xmin
     cy = (s_iy + 0.5) * vy + ymin
     cz = (s_iz + 0.5) * vz + zmin

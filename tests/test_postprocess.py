@@ -87,3 +87,31 @@ def test_rows_past_count_zero(tiny_cfg, rng):
     dets = decode_and_filter({k: jnp.asarray(v) for k, v in maps.items()}, cfg)
     boxes = np.asarray(dets.boxes)
     assert (boxes[int(dets.count):] == 0).all()
+
+
+def test_lazy_head_decode_matches_full(tiny_cfg, rng):
+    """The lazy path (full-map hm + patch-einsum regression at selected
+    cells) must reproduce the full-map conv decode exactly up to fp
+    accumulation order."""
+    import dataclasses
+    from dsvt_ai_trt_tpu import weights
+    from dsvt_ai_trt_tpu.model.backbone2d import backbone2d_forward
+    from dsvt_ai_trt_tpu.model.head import head_forward
+    from dsvt_ai_trt_tpu.ops.postprocess import decode_and_filter
+    from conftest import make_cloud
+    from dsvt_ai_trt_tpu.model.detector import forward_debug
+    import jax.numpy as jnp
+
+    cfg = tiny_cfg
+    params = weights.random_params(cfg, seed=11)
+    pts, n = make_cloud(rng, cfg, 900)
+    dbg = forward_debug(params, jnp.asarray(pts), jnp.int32(n), cfg)
+
+    full = decode_and_filter(dbg.head_out, cfg)
+    lazy_out = head_forward(dbg.bev_features, params["head"], cfg.precision,
+                            cfg=cfg, lazy=True)
+    lazy = decode_and_filter(lazy_out, cfg, head_params=params["head"])
+
+    assert int(full.count) == int(lazy.count)
+    np.testing.assert_allclose(np.asarray(full.boxes), np.asarray(lazy.boxes),
+                               atol=2e-4, rtol=1e-4)
