@@ -30,17 +30,19 @@ def _conv(x, w, b, stride=1, precision="fp32"):
     # asymmetrically for stride-2 on even inputs — a one-pixel grid shift vs
     # the reference; caught by the torch oracle (tools/torch_oracle.py).
     pad = w.shape[0] // 2
+    # bf16 mode emits bf16 conv outputs directly (MXU accumulation is f32
+    # in-kernel either way): an f32 result forces a separate 2x-wide
+    # materialization with a degenerate T(1,128) tiling — profiled at ~2x
+    # the conv cost on the 468^2 maps
     y = jax.lax.conv_general_dilated(
         x.astype(dt)[None], w.astype(dt),
         window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=dt,
         precision=dot_precision(precision),
     )[0]
-    # bf16 mode keeps the dense BEV activations in bf16 end to end: the
-    # 468^2 maps dominate HBM traffic, accumulation stays f32 in-kernel
-    return (y + b).astype(dt)
+    return (y + b.astype(dt)).astype(dt)
 
 
 def _res_unit(x, unit, stride, precision):

@@ -99,6 +99,14 @@ def backbone3d_forward(pillar_feats: jax.Array,
                                         params["posembed"][b][e], precision))
         hidden.append(row)
 
+    # fused Pallas epilogue (out-proj + LN + FFN + LN + add + LN as ONE
+    # kernel, ops/encoder_pallas.py) on the single-device fast paths; the
+    # fp32 parity path, training (needs a VJP), and sharded runs keep the
+    # XLA formulation
+    use_fused = (cfg.use_pallas and precision in ("bf16", "mixed")
+                 and jax.default_backend() == "tpu"
+                 and constrain_rows(pillar_feats) is pillar_feats)
+
     x = pillar_feats
     for b in range(cfg.num_blocks):
         sp = set_parts[b % len(set_parts)]
@@ -122,12 +130,17 @@ def backbone3d_forward(pillar_feats: jax.Array,
                 constrain_rows(sp.inds[e]), constrain_rows(sp.key_mask),
                 cfg.num_heads, precision, impl=getattr(cfg, "attn_impl", "xla"))
             attn_p = _scatter_back(constrain_rows(attn), sp.canon[e])
-            attn_p = _dense(constrain_rows(attn_p), enc["wo"], enc["bo"], precision)
 
-            x1 = layer_norm(x + attn_p, enc["ln1_g"], enc["ln1_b"], eps)
-            x2 = layer_norm(x1 + ffn(x1, enc, precision),
-                            enc["ln2_g"], enc["ln2_b"], eps)
-            x = layer_norm(x2 + x, enc["norm_g"], enc["norm_b"], eps)
+            if use_fused:
+                from ..ops.encoder_pallas import encoder_epilogue
+                x = encoder_epilogue(x, attn_p, enc, eps)
+            else:
+                attn_p = _dense(constrain_rows(attn_p), enc["wo"], enc["bo"],
+                                precision)
+                x1 = layer_norm(x + attn_p, enc["ln1_g"], enc["ln1_b"], eps)
+                x2 = layer_norm(x1 + ffn(x1, enc, precision),
+                                enc["ln2_g"], enc["ln2_b"], eps)
+                x = layer_norm(x2 + x, enc["norm_g"], enc["norm_b"], eps)
         x = layer_norm(x + x_in, params["blocks"][b]["res_g"],
                        params["blocks"][b]["res_b"], eps)
         x = constrain_rows(x)

@@ -116,9 +116,16 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
     # in the point row: ONE [N, 5] gather, and validity is re-derived from
     # the sentinel instead of gathered.
     sentinel = jnp.int32(gx * gy)
+    edges_z = jnp.asarray(cell_edges(zmin, vz, _gz))
+    iz = _edge_bin(z, edges_z, zmin, vz, _gz)
     order = jnp.argsort(cell, stable=True)
+    # bin indices ride along too, so the feature stage needs no re-binning
+    # gathers (generateFeatures_kernel re-derives them, cu:843-845 — same
+    # rule, same values)
     packed = jnp.concatenate(
-        [points, cell.astype(jnp.float32)[:, None]], axis=1)[order]
+        [points, cell.astype(jnp.float32)[:, None],
+         ix.astype(jnp.float32)[:, None], iy.astype(jnp.float32)[:, None],
+         iz.astype(jnp.float32)[:, None]], axis=1)[order]
     s_pts = packed[:, :4]
     s_cell = packed[:, 4].astype(jnp.int32)
     s_valid = s_cell != sentinel
@@ -144,13 +151,12 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
     # of a second argsort (TPU sorts are bitonic and dominate this stage)
     dest = jnp.cumsum(capped.astype(jnp.int32)) - 1
     dest = jnp.where(capped & (dest < P1), dest, P1)
-    fill = jnp.zeros((P1 + 1, 5), jnp.float32).at[:, 4].set(
+    fill = jnp.zeros((P1 + 1, 8), jnp.float32).at[:, 4].set(
         jnp.float32(gx * gy))
-    compacted = fill.at[dest].set(
-        jnp.concatenate([s_pts, s_cell.astype(jnp.float32)[:, None]], axis=1),
-        mode="drop")[:P1]
+    compacted = fill.at[dest].set(packed, mode="drop")[:P1]
     s_pts = compacted[:, :4]
     s_cell = compacted[:, 4].astype(jnp.int32)
+    s_bins = compacted[:, 5:8]
     s_valid = s_cell != sentinel
 
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_cell[:-1]])
@@ -186,13 +192,9 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
     # re-derived from the point like generateFeatures_kernel (cu:843-845),
     # using the same edge-table rule as the binning above
     m = means[point_pillar]
-    edges_z = jnp.asarray(cell_edges(zmin, vz, _gz))
-    s_ix = _edge_bin(s_pts[:, 0], edges_x, xmin, vx, gx).astype(jnp.float32)
-    s_iy = _edge_bin(s_pts[:, 1], edges_y, ymin, vy, gy).astype(jnp.float32)
-    s_iz = _edge_bin(s_pts[:, 2], edges_z, zmin, vz, _gz).astype(jnp.float32)
-    cx = (s_ix + 0.5) * vx + xmin
-    cy = (s_iy + 0.5) * vy + ymin
-    cz = (s_iz + 0.5) * vz + zmin
+    cx = (s_bins[:, 0] + 0.5) * vx + xmin
+    cy = (s_bins[:, 1] + 0.5) * vy + ymin
+    cz = (s_bins[:, 2] + 0.5) * vz + zmin
     feats = jnp.concatenate([
         s_pts[:, :4],
         s_pts[:, :3] - m,

@@ -115,3 +115,29 @@ def test_pallas_kernel_matches_xla_core(rng):
     rowvalid = (mask > -1.0)[..., None]
     np.testing.assert_allclose(got * rowvalid, ref * rowvalid,
                                atol=0.05, rtol=0.05)
+
+
+def test_encoder_epilogue_pallas_matches_xla(tiny_cfg, rng):
+    """The fused Pallas epilogue must reproduce the XLA chain
+    (out-proj -> LN -> FFN -> LN -> add -> LN) in interpret mode."""
+    import jax.numpy as jnp
+    from dsvt_ai_trt_tpu import weights
+    from dsvt_ai_trt_tpu.ops.attention import layer_norm, ffn
+    from dsvt_ai_trt_tpu.ops.encoder_pallas import encoder_epilogue
+
+    cfg = tiny_cfg
+    params = weights.random_params(cfg, seed=4)
+    enc = params["blocks"][0]["enc"][0]
+    P, C = 256, cfg.d_model
+    x = jnp.asarray(rng.normal(0, 1, (P, C)).astype(np.float32))
+    a = jnp.asarray(rng.normal(0, 0.5, (P, C)).astype(np.float32))
+
+    attn_p = a @ enc["wo"] + enc["bo"]
+    x1 = layer_norm(x + attn_p, enc["ln1_g"], enc["ln1_b"], cfg.ln_eps)
+    x2 = layer_norm(x1 + ffn(x1, enc, "fp32"), enc["ln2_g"], enc["ln2_b"],
+                    cfg.ln_eps)
+    ref = layer_norm(x2 + x, enc["norm_g"], enc["norm_b"], cfg.ln_eps)
+
+    got = encoder_epilogue(x, a, enc, cfg.ln_eps, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
