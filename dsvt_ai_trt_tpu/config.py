@@ -100,12 +100,9 @@ class DSVTConfig:
     # with bf16-input/fp32-accum matmuls (the TPU analogue of USE_FP16,
     # params.h:332); "bf16" = bf16 activations end to end.
     precision: str = "fp32"
-    use_pallas: bool = True            # fused Pallas kernels on TPU (auto-off elsewhere)
-    # set-attention core: "xla" (fused dot_product_attention path) or
-    # "pallas" (ops/attention_pallas.py grouped-dot kernel).  Both are
-    # validated against the same oracle; measured within noise of each
-    # other on v5e, so the XLA path is the default.
-    attn_impl: str = "xla"
+    # fused Pallas kernels on TPU (encoder epilogue, NMS overlap); auto-off
+    # on other backends and on paths that need a VJP
+    use_pallas: bool = True
 
     # ------------------------------------------------------------------
     @property
@@ -140,6 +137,10 @@ class DSVTConfig:
         for key in ("voxel_size", "pc_range_min", "pc_range_max", "grid_size",
                     "sparse_shape", "pfn_channels"):
             raw[key] = tuple(raw[key])
+        # drop keys from older stamps (e.g. a removed field): the equality
+        # check in runtime.compile.load_engine still flags real mismatches
+        known = {f.name for f in dataclasses.fields(DSVTConfig)}
+        raw = {k: v for k, v in raw.items() if k in known}
         return DSVTConfig(**raw)
 
 

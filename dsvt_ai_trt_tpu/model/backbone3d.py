@@ -128,7 +128,7 @@ def backbone3d_forward(pillar_feats: jax.Array,
             attn = set_attention_qkv(
                 _with_dump_row(q_p), _with_dump_row(k_p), _with_dump_row(v_p),
                 constrain_rows(sp.inds[e]), constrain_rows(sp.key_mask),
-                cfg.num_heads, precision, impl=getattr(cfg, "attn_impl", "xla"))
+                cfg.num_heads, precision)
             attn_p = _scatter_back(constrain_rows(attn), sp.canon[e])
 
             if use_fused:

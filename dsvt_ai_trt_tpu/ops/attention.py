@@ -31,7 +31,7 @@ def _maybe_bf16(x: jax.Array, precision: str) -> jax.Array:
 
 def set_attention_qkv(q_p: jax.Array, k_p: jax.Array, v_p: jax.Array,
                       inds: jax.Array, key_mask: jax.Array, num_heads: int,
-                      precision: str = "fp32", impl: str = "xla") -> jax.Array:
+                      precision: str = "fp32") -> jax.Array:
     """Masked set attention over pre-projected pillar Q/K/V.
 
     Projections run on the [P, C] pillar arrays (the gather commutes with
@@ -59,14 +59,13 @@ def set_attention_qkv(q_p: jax.Array, k_p: jax.Array, v_p: jax.Array,
     v = qkv[..., 2 * C:].reshape(S, K, H, D)
 
     if gt is jnp.bfloat16:
-        if impl == "pallas" and S % 8 == 0:
-            from .attention_pallas import set_attention_pallas
-            return set_attention_pallas(
-                qkv[..., :C], qkv[..., C:2 * C], qkv[..., 2 * C:], key_mask,
-                num_heads, interpret=jax.default_backend() != "tpu")
         # XLA's fused attention path: logits never round-trip to HBM in the
         # padded [S,H,36,36] layout; scale 1/sqrt(D) is applied internally
-        # (matches the reference's q/sqrt(24), cpp:397-405)
+        # (matches the reference's q/sqrt(24), cpp:397-405).  A Pallas
+        # grouped-dot alternative was carried in round 1 at parity; after
+        # the wide-gather + bf16 reworks it measured 9 ms/frame SLOWER than
+        # this path, so it was removed (the Pallas kernels that do win live
+        # in encoder_pallas.py and nms_pallas.py)
         out = jax.nn.dot_product_attention(
             q, k, v, bias=key_mask[:, None, None, :])
         return out.reshape(S, K, C)

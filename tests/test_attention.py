@@ -79,44 +79,6 @@ def test_ffn(rng):
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-5)
 
 
-def test_pallas_kernel_matches_xla_core(rng):
-    """The grouped-dot Pallas kernel (interpret mode on CPU) must agree with
-    the XLA attention core on valid (non-padding) rows."""
-    import jax
-
-    from dsvt_ai_trt_tpu.ops.attention_pallas import set_attention_pallas
-
-    S, K, H, D = 16, 36, 8, 24
-    C = H * D
-    q = rng.normal(0, 1, (S, K, C)).astype(np.float32)
-    k = rng.normal(0, 1, (S, K, C)).astype(np.float32)
-    v = rng.normal(0, 1, (S, K, C)).astype(np.float32)
-    mask = np.where(rng.uniform(size=(S, K)) > 0.25, 0.0,
-                    -3.4028235e38).astype(np.float32)
-    mask[0] = 0.0                       # one fully-valid set
-    mask[1, 1:] = -3.4028235e38         # one almost-empty set
-
-    def xla_core(q, k, v, mask):
-        qh = q.reshape(S, K, H, D).astype(jnp.bfloat16)
-        kh = k.reshape(S, K, H, D).astype(jnp.bfloat16)
-        vh = v.reshape(S, K, H, D).astype(jnp.bfloat16)
-        lg = jnp.einsum("sqhd,skhd->shqk", qh, kh,
-                        preferred_element_type=jnp.float32)
-        lg = lg / np.sqrt(D) + mask[:, None, None, :]
-        p = jax.nn.softmax(lg, axis=-1).astype(jnp.bfloat16)
-        return jnp.einsum("shqk,skhd->sqhd", p, vh,
-                          preferred_element_type=jnp.float32).reshape(S, K, C)
-
-    ref = np.asarray(xla_core(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-                              jnp.asarray(mask)), np.float32)
-    got = np.asarray(set_attention_pallas(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask), H,
-        interpret=True), np.float32)
-    rowvalid = (mask > -1.0)[..., None]
-    np.testing.assert_allclose(got * rowvalid, ref * rowvalid,
-                               atol=0.05, rtol=0.05)
-
-
 def test_encoder_epilogue_pallas_matches_xla(tiny_cfg, rng):
     """The fused Pallas epilogue must reproduce the XLA chain
     (out-proj -> LN -> FFN -> LN -> add -> LN) in interpret mode."""
