@@ -146,9 +146,14 @@ def cmd_train(args):
     optimizer, train_step = make_train_step(cfg)
     opt_state = optimizer.init(params)
     step0 = 0
-    if args.resume and os.path.exists(args.resume):
-        params, opt_state, step0 = load_train_state(args.resume, params, opt_state)
-        logging.info("resumed from %s at step %d", args.resume, step0)
+    if args.resume:
+        resume = args.resume
+        if not os.path.exists(resume) and os.path.exists(resume + ".npz"):
+            resume = resume + ".npz"
+        if not os.path.exists(resume):
+            raise SystemExit(f"--resume {args.resume}: checkpoint not found")
+        params, opt_state, step0 = load_train_state(resume, params, opt_state)
+        logging.info("resumed from %s at step %d", resume, step0)
     train_jit = jax.jit(train_step)
 
     rng = np.random.default_rng(args.seed)
@@ -163,8 +168,9 @@ def cmd_train(args):
         if args.ckpt and (step + 1) % args.ckpt_every == 0:
             save_train_state(args.ckpt, params, opt_state, step + 1)
     if args.ckpt:
-        save_train_state(args.ckpt, params, opt_state, step0 + args.steps)
-        print(f"checkpoint -> {args.ckpt}")
+        written = save_train_state(args.ckpt, params, opt_state,
+                                   step0 + args.steps)
+        print(f"checkpoint -> {written}")
     if args.export_wts:
         weights.save_wts(weights.unfold_params(jax.device_get(params), cfg),
                          args.export_wts)

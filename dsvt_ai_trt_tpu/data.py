@@ -110,8 +110,9 @@ def _box_surface_points(rng, box, n: int) -> np.ndarray:
     v = rng.uniform(-0.5, 0.5, n)
     face = rng.integers(0, 5, n)
     px = np.where(face == 0, -0.5, np.where(face == 1, 0.5, u)) * dx
-    py = np.where(face == 2, -0.5, np.where(face == 3, 0.5, u)) * dy
-    py = np.where(face < 2, v * dy, py)
+    # faces 0/1 (x walls) and 4 (top) spread over v in y; u would correlate
+    # with px and collapse the top face onto its diagonal
+    py = np.where(face == 2, -0.5, np.where(face == 3, 0.5, v)) * dy
     pz = np.where(face == 4, 0.5 * dz, rng.uniform(-0.5, 0.5, n) * dz)
     c, s = np.cos(heading), np.sin(heading)
     gx = x + px * c - py * s

@@ -89,7 +89,8 @@ def coverage(queries: np.ndarray, pool: np.ndarray,
             score_err = max(score_err, abs(float(q[8] - pool[best_j, 8])))
             center_err = max(center_err,
                              float(np.linalg.norm(q[:3] - pool[best_j, :3])))
-    return {"n": n, "covered": hit, "coverage": hit / max(n, 1),
+    # vacuous truth for an empty query set: nothing confident to cover
+    return {"n": n, "covered": hit, "coverage": hit / n if n else 1.0,
             "max_score_err": score_err, "max_center_err": center_err}
 
 

@@ -85,8 +85,13 @@ def backbone3d_forward(pillar_feats: jax.Array,
                        window_parts: Sequence[WindowPartition],
                        set_parts: Sequence[SetPartition],
                        params: dict, cfg: DSVTConfig,
-                       precision: str = "fp32") -> jax.Array:
-    """pillar_feats: [P, 192] -> [P, 192] after 4 DSVT blocks."""
+                       precision: str = "fp32",
+                       allow_pallas: bool = True) -> jax.Array:
+    """pillar_feats: [P, 192] -> [P, 192] after 4 DSVT blocks.
+
+    allow_pallas=False forces the XLA epilogue — required under jax.grad
+    (the fused kernel defines no VJP); forward_debug / the training loss
+    pass False."""
     eps = cfg.ln_eps
 
     # pos-embed hidden activations per (block, pass) — computed up front like
@@ -103,8 +108,10 @@ def backbone3d_forward(pillar_feats: jax.Array,
     # kernel, ops/encoder_pallas.py) on the single-device fast paths; the
     # fp32 parity path, training (needs a VJP), and sharded runs keep the
     # XLA formulation
-    use_fused = (cfg.use_pallas and precision in ("bf16", "mixed")
+    use_fused = (allow_pallas and cfg.use_pallas
+                 and precision in ("bf16", "mixed")
                  and jax.default_backend() == "tpu"
+                 and pillar_feats.shape[0] % 8 == 0
                  and constrain_rows(pillar_feats) is pillar_feats)
 
     x = pillar_feats

@@ -97,7 +97,10 @@ def forward_debug(params, points, num_points, cfg: DSVTConfig) -> IntermediateOu
         wp = window_partition(pillars.coords, pillars.pillar_valid, spec, cfg)
         sparts.append(set_partition(wp, pillars.pillar_valid, spec, cfg))
         wparts.append(wp)
-    dfeats = backbone3d_forward(pfeats, wparts, sparts, params, cfg, precision)
+    # allow_pallas=False: forward_debug feeds the training loss through
+    # jax.grad, and the fused epilogue kernel defines no VJP
+    dfeats = backbone3d_forward(pfeats, wparts, sparts, params, cfg, precision,
+                                allow_pallas=False)
     bev = map_to_bev(dfeats, pillars.coords, pillars.pillar_valid,
                      (cfg.grid_size[1], cfg.grid_size[0]))
     bev2 = backbone2d_forward(bev, params["backbone2d"], precision)

@@ -67,6 +67,9 @@ def encoder_epilogue(x: jax.Array, attn_raw: jax.Array, enc: dict,
     attention output (pre out-projection).  Returns [P, C] f32."""
     P, C = x.shape
     dt = attn_raw.dtype
+    if P % 8 != 0:
+        raise ValueError(f"encoder_epilogue needs P % 8 == 0, got P={P}; "
+                         "callers gate on this (backbone3d use_fused)")
     # largest divisor of P that is a multiple of 8 (f32 sublane) and keeps
     # the double-buffered block pair well under the 16 MB VMEM budget
     block = 8

@@ -68,6 +68,15 @@ def decode_lazy_branches(shared: jax.Array, inds: jax.Array, head_params: Dict,
                     preferred_element_type=jnp.float32) + b0
     h1 = jnp.maximum(h1, 0.0).astype(dt)                    # [K, 3, 3, B, 64]
 
+    # hidden positions outside the map must be ZERO (the full-map conv2
+    # reads zero padding there), not relu(conv1(zeros)+b0) — without this
+    # mask, border-cell detections diverge from the full path / reference
+    oy = jnp.arange(-1, 2)
+    hy = ys[:, None] + oy[None, :]                          # [K, 3]
+    hx = xs[:, None] + oy[None, :]
+    in_map = ((hy >= 0) & (hy < H))[:, :, None] & ((hx >= 0) & (hx < W))[:, None, :]
+    h1 = jnp.where(in_map[..., None, None], h1, 0)
+
     out = {}
     for b, name in enumerate(names):
         w1 = head_params[name]["w1"]                        # [3, 3, 64, c]

@@ -62,12 +62,7 @@ def constrain_bev(x: jax.Array) -> jax.Array:
     468->234->117 stride chain) from these annotations alone — the idiomatic
     TPU form of the halo plan in SURVEY §2.3, with no hand-written
     collectives to keep correct."""
-    state = _current()
-    if state is None:
-        return x
-    mesh, axis = state
-    spec = (axis,) + (None,) * (x.ndim - 1)
-    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+    return constrain_rows(x)
 
 
 def replicate(x: jax.Array) -> jax.Array:

@@ -84,12 +84,13 @@ def make_train_step(cfg: DSVTConfig, optimizer=None):
     return optimizer, train_step
 
 
-def save_train_state(path: str, params, opt_state, step: int = 0) -> None:
+def save_train_state(path: str, params, opt_state, step: int = 0) -> str:
     """Checkpoint params + optimizer state (VERDICT r1 task 7).
 
     Flat npz keyed by pytree paths: no pickle, loadable anywhere.  The
     reference's only checkpoint artifacts are the .wts dump and the
-    serialized engine (SURVEY §5); training state is a new capability."""
+    serialized engine (SURVEY §5); training state is a new capability.
+    Returns the actual file path (np.savez appends .npz when missing)."""
     import numpy as np
 
     flat = {}
@@ -98,7 +99,10 @@ def save_train_state(path: str, params, opt_state, step: int = 0) -> None:
         for keypath, leaf in leaves_with_paths:
             flat[f"{tag}:{jax.tree_util.keystr(keypath)}"] = np.asarray(leaf)
     flat["step"] = np.int64(step)
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     np.savez(path, **flat)
+    return path
 
 
 def load_train_state(path: str, params_template, opt_state_template):

@@ -44,8 +44,12 @@ def run_frames(engine: Engine, paths: List[str], out_dir: Optional[str] = None,
         os.makedirs(out_dir, exist_ok=True)
     results = []
 
-    # pre-stage frames on device; a corrupt frame is skipped and flagged
-    # rather than aborting the run (the reference exit(-1)s, helper.h:46-52)
+    # pre-load frames on the host; a corrupt frame is skipped and flagged
+    # rather than aborting the run (the reference exit(-1)s, helper.h:46-52).
+    # Device upload happens at dispatch time below — staging on DEVICE here
+    # would pin O(n_frames) HBM (3.2 MB/frame at Waymo caps) for no
+    # pipelining benefit, since the async dispatch already overlaps the H2D
+    # copy with the previous frame's compute.
     staged = []
     for p in paths:
         try:
@@ -56,7 +60,7 @@ def run_frames(engine: Engine, paths: List[str], out_dir: Optional[str] = None,
                            "error": str(exc)}
             results.append(results_bad)
             continue
-        staged.append((p, jax.device_put(pts), n))
+        staged.append((p, pts, n))
 
     t_prev = time.perf_counter()
 
@@ -83,7 +87,7 @@ def run_frames(engine: Engine, paths: List[str], out_dir: Optional[str] = None,
 
     inflight: List[tuple] = []
     for path, pts, n in staged:
-        inflight.append((path, engine(pts, n)))  # async dispatch
+        inflight.append((path, engine(jax.device_put(pts), n)))  # async dispatch
         if len(inflight) > max(pipeline_depth, 0):
             finish(*inflight.pop(0))
     for item in inflight:

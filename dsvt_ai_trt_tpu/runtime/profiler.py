@@ -153,8 +153,12 @@ def profile_stages(params, points, num_points, cfg, iters: int = 10) -> StageTim
     bev_fn = jax.jit(lambda feats, coords, valid: backbone2d_forward(
         map_to_bev(feats, coords, valid, (cfg.grid_size[1], cfg.grid_size[0])),
         params["backbone2d"], cfg.precision))
-    head_fn = jax.jit(lambda bev: head_forward(bev, params["head"], cfg.precision))
-    post_fn = jax.jit(functools.partial(decode_and_filter, cfg=cfg))
+    # lazy=True + head_params: profile the same head/decode split the
+    # deployed forward runs (model/detector.py), not the full-map conv path
+    head_fn = jax.jit(lambda bev: head_forward(bev, params["head"],
+                                               cfg.precision, lazy=True))
+    post_fn = jax.jit(lambda hm: decode_and_filter(
+        hm, cfg, head_params=params["head"]))
     nms_fn = jax.jit(lambda b, c: nms_ops.nms(b, c, cfg.nms_threshold))
 
     stages = []

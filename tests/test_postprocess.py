@@ -115,3 +115,38 @@ def test_lazy_head_decode_matches_full(tiny_cfg, rng):
     assert int(full.count) == int(lazy.count)
     np.testing.assert_allclose(np.asarray(full.boxes), np.asarray(lazy.boxes),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_lazy_branches_exact_at_map_borders(tiny_cfg, rng):
+    """Border top-k cells: the full-map conv2 reads ZERO padding for hidden
+    positions outside the map; the lazy path must mask those positions the
+    same way (not compute relu(conv1(zeros)+b0) there)."""
+    import jax
+    import jax.numpy as jnp
+    from dsvt_ai_trt_tpu import weights
+    from dsvt_ai_trt_tpu.config import head_branches
+    from dsvt_ai_trt_tpu.ops.postprocess import decode_lazy_branches
+
+    cfg = tiny_cfg
+    H, W = cfg.grid_size[1], cfg.grid_size[0]
+    head = weights.random_params(cfg, seed=9)["head"]
+    shared = jnp.asarray(rng.normal(0, 1, (H, W, 64)).astype(np.float32))
+
+    def conv(x, w, b):
+        return jax.lax.conv_general_dilated(
+            x[None], w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0] + b
+
+    # corner/edge/interior cells
+    cells = jnp.asarray([0, W - 1, (H - 1) * W, H * W - 1, W + 1,
+                         (H // 2) * W + W // 2], jnp.int32)
+    vals = decode_lazy_branches(shared, cells, head, head_branches(cfg))
+    for name, _ in head_branches(cfg):
+        if name == "hm":
+            continue
+        hidden = jnp.maximum(conv(shared, head[name]["w0"], head[name]["b0"]), 0.0)
+        full = conv(hidden, head[name]["w1"], head[name]["b1"])
+        full_flat = full.reshape(H * W, -1)[cells]
+        np.testing.assert_allclose(np.asarray(vals[name]),
+                                   np.asarray(full_flat), atol=1e-4,
+                                   err_msg=name)
