@@ -59,13 +59,11 @@ def set_attention_qkv(q_p: jax.Array, k_p: jax.Array, v_p: jax.Array,
     v = qkv[..., 2 * C:].reshape(S, K, H, D)
 
     if gt is jnp.bfloat16:
-        # XLA's fused attention path: logits never round-trip to HBM in the
-        # padded [S,H,36,36] layout; scale 1/sqrt(D) is applied internally
-        # (matches the reference's q/sqrt(24), cpp:397-405).  A Pallas
-        # grouped-dot alternative was carried in round 1 at parity; after
-        # the wide-gather + bf16 reworks it measured 9 ms/frame SLOWER than
-        # this path, so it was removed (the Pallas kernels that do win live
-        # in encoder_pallas.py and nms_pallas.py)
+        # XLA's fused attention path.  Three alternatives measured worse
+        # end-to-end: a Pallas grouped-dot kernel (+9 ms, removed), the
+        # fp32-style [Kq,Kk,H,S] einsum layout below (+5 ms nuScenes /
+        # +13 ms Waymo despite avoiding the padded [S,H,36,36] logits —
+        # the (8,S)-minor batched matmuls tile worse than dpa's layout).
         out = jax.nn.dot_product_attention(
             q, k, v, bias=key_mask[:, None, None, :])
         return out.reshape(S, K, C)

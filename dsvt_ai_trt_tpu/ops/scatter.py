@@ -24,7 +24,10 @@ def scatter_max(point_feats: jax.Array, point_pillar: jax.Array,
     guarded = jnp.where(point_valid[:, None], point_feats, neg)
     pillar_max = jnp.full((num_pillars + 1, point_feats.shape[1]), neg,
                           point_feats.dtype)
-    pillar_max = pillar_max.at[point_pillar].max(guarded, mode="drop")
+    # point_pillar is nondecreasing by construction (points arrive sorted
+    # by cell from ops/voxelize) — the hint lets XLA skip conflict handling
+    pillar_max = pillar_max.at[point_pillar].max(guarded, mode="drop",
+                                                 indices_are_sorted=True)
     written = pillar_max > neg
     pillar_max = jnp.where(written, pillar_max, 0.0)
     point_max = jnp.where(point_valid[:, None], pillar_max[point_pillar], 0.0)

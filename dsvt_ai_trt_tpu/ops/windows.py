@@ -183,8 +183,11 @@ def set_partition(part: WindowPartition, pillar_valid: jax.Array,
     # canonical inverse: pillar with in-window rank r maps to flat slot
     # m = ceil(r * K*n_sets / N); valid because Eq.(3) is nondecreasing in m.
     def canon_for(order):
-        inv_rank = jnp.zeros((P,), jnp.int32).at[order].set(pos)    # sorted pos of pillar
-        wr = jnp.zeros((P,), jnp.int32).at[order].set(win_rank_safe)
+        # one [P, 2] row scatter for (sorted position, window rank) instead
+        # of two column scatters (latency-bound per op)
+        inv = jnp.zeros((P, 2), jnp.int32).at[order].set(
+            jnp.stack([pos, win_rank_safe], axis=1))
+        inv_rank, wr = inv[:, 0], inv[:, 1]
         r = inv_rank - win_start[wr]
         Sw = K * jnp.maximum(sets_per_win[jnp.minimum(wr, W - 1)], 1)
         N = jnp.maximum(win_size[wr], 1)
