@@ -41,13 +41,24 @@ def head_forward(features: jax.Array, params: dict, precision: str = "fp32",
     """
     branches = head_branches(cfg) if cfg is not None else _infer_branches(params)
 
-    shared = constrain_bev(jnp.maximum(
-        _conv(features, params["shared_w"], params["shared_b"], 1, precision), 0.0))
+    # NOTE: the head chain's convs are demoted to a slow row-major layout
+    # by decode's gather/top-k consumers (XLA layout assignment, ~2x the
+    # residual-stack convs' cost).  A Pallas halo-DMA conv kernel was built
+    # to sidestep this and LOST (~30 ms/conv vs XLA's ~5 — the per-step
+    # roll/accumulate structure never pipelined well) and was deleted;
+    # an optimization_barrier fence also measured worse.  XLA it is.
+    def conv_relu(x, w, b, relu):
+        y = _conv(x, w, b, 1, precision)
+        return jnp.maximum(y, 0.0) if relu else y
+
+    shared = constrain_bev(conv_relu(features, params["shared_w"],
+                                     params["shared_b"], True))
 
     if lazy:
-        hm_hidden = jnp.maximum(
-            _conv(shared, params["hm"]["w0"], params["hm"]["b0"], 1, precision), 0.0)
-        hm = _conv(hm_hidden, params["hm"]["w1"], params["hm"]["b1"], 1, precision)
+        hm_hidden = conv_relu(shared, params["hm"]["w0"], params["hm"]["b0"],
+                              True)
+        hm = conv_relu(hm_hidden, params["hm"]["w1"], params["hm"]["b1"],
+                       False)
         return {"hm": hm, "shared": shared}
 
     hidden_c = params[branches[0][0]]["w0"].shape[-1]

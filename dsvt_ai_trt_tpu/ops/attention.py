@@ -64,6 +64,9 @@ def set_attention_qkv(q_p: jax.Array, k_p: jax.Array, v_p: jax.Array,
         # fp32-style [Kq,Kk,H,S] einsum layout below (+5 ms nuScenes /
         # +13 ms Waymo despite avoiding the padded [S,H,36,36] logits —
         # the (8,S)-minor batched matmuls tile worse than dpa's layout).
+        # (Chunking the set axis into <=800-set dpa calls also measured
+        # FAR worse — 127 vs 81 ms at Waymo: the chunk slices break the
+        # gather+attention fusion and force materialized copies.)
         out = jax.nn.dot_product_attention(
             q, k, v, bias=key_mask[:, None, None, :])
         return out.reshape(S, K, C)
