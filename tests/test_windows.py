@@ -114,3 +114,42 @@ def test_set_cap_overflow_graceful(tiny_cfg, rng):
                 assert flat[c] == p  # mapped pillars still invert correctly
     # dropped sets' slots carry the dump index
     assert (inds[:, 8:] == cfg.max_pillars).all()
+
+
+def test_duplicate_slots_produce_identical_attention_outputs(tiny_cfg, rng):
+    """SURVEY §2.4-6: the reference's last-writer-wins scatter-back is
+    nondeterministic on duplicated (Eq.(3)-padded) set slots, and our
+    canonical-slot gather replaces it.  The divergence is provably zero
+    because duplicate slots hold the same pillar: same query row, same key
+    set, same additive mask => identical attention outputs.  This test pins
+    that claim: every duplicated slot's output must be bit-identical to its
+    first occurrence, so ANY scatter order (or our gather) yields the same
+    pillar features."""
+    import jax.numpy as jnp
+    from dsvt_ai_trt_tpu.ops.windows import window_partition, set_partition
+    from dsvt_ai_trt_tpu.ops.attention import set_attention_qkv
+    from dsvt_ai_trt_tpu.ops.voxelize import voxelize
+    from conftest import make_cloud
+
+    cfg = tiny_cfg
+    # sparse cloud -> windows with fewer pillars than set_size -> duplicates
+    pts, n = make_cloud(rng, cfg, 60)
+    vox = voxelize(jnp.asarray(pts), jnp.int32(n), cfg)
+    spec = cfg.window_specs[0]
+    wp = window_partition(vox.coords, vox.pillar_valid, spec, cfg)
+    sp = set_partition(wp, vox.pillar_valid, spec, cfg)
+    inds = np.asarray(sp.inds[0])
+    S, K = inds.shape
+    assert (inds[:, 1:] == inds[:, :-1]).any(), "no duplicate slots planted"
+
+    C = cfg.d_model
+    table = rng.normal(0, 1, (cfg.max_pillars + 1, C)).astype(np.float32)
+    q = jnp.asarray(table)
+    out = np.asarray(set_attention_qkv(q, q, q, sp.inds[0], sp.key_mask,
+                                       cfg.num_heads, "fp32"))
+    for s in range(S):
+        for k in range(1, K):
+            if inds[s, k] == inds[s, k - 1] and inds[s, k] < cfg.max_pillars:
+                np.testing.assert_array_equal(
+                    out[s, k], out[s, k - 1],
+                    err_msg=f"set {s} slot {k} diverged from its duplicate")
