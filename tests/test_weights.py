@@ -79,3 +79,41 @@ def test_prepare_params_shapes(tiny_cfg):
     assert p["head"]["hm"]["w1"].shape == (3, 3, 64, tiny_cfg.num_classes)
     # conv weights are HWIO
     assert p["backbone2d"]["stages"][0][0]["conv1_w"].shape == (3, 3, d, 128)
+
+
+def test_torch_checkpoint_loads_and_splits_qkv(tiny_cfg, tmp_path):
+    """.pth loading: the upstream checkpoint carries FUSED in_proj tensors
+    (torch nn.MultiheadAttention layout); load_torch must split them into
+    the .query/.key/.value thirds exactly like the reference's
+    loadWeights_new (helper.h:353-434), and the result must feed
+    prepare_params."""
+    import torch
+    from dsvt_ai_trt_tpu import weights
+
+    cfg = tiny_cfg
+    raw = weights.random_raw(cfg, seed=6)
+
+    # re-fuse the split tensors into a torch-style state dict
+    state = {}
+    pending = {}
+    for name, arr in raw.items():
+        base = None
+        for part in ("query", "key", "value"):
+            if name.endswith("." + part) and ".in_proj_" in name:
+                base = name[: -(len(part) + 1)]
+                pending.setdefault(base, {})[part] = arr
+        if base is None:
+            state[name] = torch.from_numpy(arr.copy())
+    for base, parts in pending.items():
+        state[base] = torch.from_numpy(np.concatenate(
+            [parts["query"], parts["key"], parts["value"]]).copy())
+
+    path = str(tmp_path / "ckpt.pth")
+    torch.save(state, path)
+    loaded = weights.load_checkpoint(path)
+
+    assert set(loaded) == set(raw)
+    for k in raw:
+        np.testing.assert_array_equal(loaded[k].reshape(raw[k].shape), raw[k],
+                                      err_msg=k)
+    weights.prepare_params(loaded, cfg)  # must not raise
