@@ -6,14 +6,15 @@ hm 10), each 3x3 conv 64 (+BN+ReLU) -> 3x3 conv with bias.  The iou branch
 is computed but unused downstream (cfg USE_IOU_TO_RECTIFY_SCORE: False);
 kept for checkpoint parity.
 
-TPU-native fusion: the six per-branch hidden convs share one input, so they
-run as ONE 64->384 conv; the six final convs are block-diagonal over the
-concatenated hidden, materialized as one 384->19 conv with zeros off-block.
-Identical math (each output channel still sees only its branch's 64 hidden
-channels), but the MXU sees two large matmuls instead of twelve 64-wide
-ones.  Weights stay stored per-branch (checkpoint contract + training
-gradients); the fused tensors are assembled inside the traced function,
-which XLA hoists out of the per-frame path.
+TPU-native design: the inference path is LAZY — only the heatmap (the
+top-k source) gets full-map convolutions; the five regression branches are
+evaluated at just the selected cells inside decode
+(ops/postprocess.decode_lazy_branches), because full-map small-c convs pad
+their outputs to the 128-lane MXU width (a round-1 "fused block-diagonal"
+variant profiled at 10 ms/frame).  The full-map path below remains for
+training, debug and the stats golden; the six per-branch hidden convs
+still fuse into one 64->384 conv there.  Weights stay stored per-branch
+(checkpoint contract + training gradients).
 """
 
 from __future__ import annotations
