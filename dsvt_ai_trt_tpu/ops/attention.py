@@ -3,10 +3,11 @@
 Replaces the reference's TRT-primitive attention assembly
 (src/dsvt-ai-trt.cpp:288-458: seven shuffles, an elementwise divide against a
 materialized constant tensor because addScale could not scale by 1/sqrt(d),
-and two BMMs over a [sets*heads, 36, 24] layout) with one einsum chain over
-[S, K, H, D].  XLA fuses the gather, bias adds, scale, mask add and softmax
-around the two MXU matmuls; an optional Pallas kernel fuses the whole
-gather->attend->project pipeline per set tile.
+and two BMMs over a [sets*heads, 36, 24] layout) with XLA's fused
+dot_product_attention over [S, K, H, D] on the bf16/mixed fast paths and a
+tile-friendly [Kq, Kk, H, S] einsum layout on the fp32 parity path.  The
+downstream epilogue (out-projection + LN + FFN chain) fuses into one
+Pallas kernel on TPU (ops/encoder_pallas.py).
 
 Semantics notes:
   * q = k = pillar_feat + pos_embed, v = pillar_feat, gathered by the set's

@@ -15,6 +15,11 @@ Deliberate divergences from the reference (documented per SURVEY §2.4):
     dependent 48 (atomicAdd order, points2Features.cu:697-699).
   * pillar ids are ordered by BEV cell index rather than atomicAdd arrival
     order.  Box outputs are order-insensitive so parity is unaffected.
+  * points within one fp32 ulp of a cell edge bin by exact comparison
+    against a float64-derived edge table (cell_edges/_edge_bin), not by the
+    rounding of floorf((x-min)/size) — that rounding is not reproducible
+    across compilers/backends (README divergence 5; the torch oracle
+    applies the identical rule).
 """
 
 from __future__ import annotations
