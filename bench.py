@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -126,7 +125,6 @@ def main():
 
     # batched streaming (BASELINE config 5): all frames in one dispatch via
     # vmap — amortizes per-call dispatch and fills the MXU with batch work
-    import functools
     import jax.numpy as jnp
     from dsvt_ai_trt_tpu.model.detector import forward_batch
 

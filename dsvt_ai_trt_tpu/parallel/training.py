@@ -14,8 +14,7 @@ through the gathered values exactly like the torch original.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

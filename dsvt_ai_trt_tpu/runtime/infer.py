@@ -21,8 +21,7 @@ from typing import List, Optional
 import jax
 import numpy as np
 
-from ..config import DSVTConfig
-from ..io.pointcloud import load_bin, frame_paths
+from ..io.pointcloud import load_bin
 from ..io.output import save_txt
 from .compile import Engine
 

@@ -9,6 +9,7 @@ jax.profiler for full XLA traces.
 from __future__ import annotations
 
 import contextlib
+import functools
 import time
 from typing import Dict, List
 
@@ -122,9 +123,6 @@ def profile_stages(params, points, num_points, cfg, iters: int = 10) -> StageTim
     (``.report()`` for text, ``.summary()`` for the dict); per-stage FLOPs
     from XLA cost analysis land in ``timer.flops``.
     """
-    import functools
-    import jax.numpy as jnp
-
     from ..ops.voxelize import voxelize
     from ..ops.windows import window_partition, set_partition
     from ..ops.bev import map_to_bev

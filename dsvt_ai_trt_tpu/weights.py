@@ -19,13 +19,12 @@ At load time all inference-only algebra is folded once on the host:
 
 from __future__ import annotations
 
-import io
 import struct
 from typing import Dict, List
 
 import numpy as np
 
-from .config import (DSVTConfig, HEAD_BRANCHES, head_branches,
+from .config import (DSVTConfig, head_branches,
                      BACKBONE2D_STAGES, BACKBONE2D_DEBLOCK)
 
 Raw = Dict[str, np.ndarray]

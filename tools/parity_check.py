@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from dsvt_ai_trt_tpu.config import DEFAULT_CONFIG  # noqa: E402
 from dsvt_ai_trt_tpu import weights  # noqa: E402
-from dsvt_ai_trt_tpu.eval import match_boxes, coverage  # noqa: E402
+from dsvt_ai_trt_tpu.eval import coverage  # noqa: E402
 from dsvt_ai_trt_tpu.io.pointcloud import load_bin, frame_paths  # noqa: E402
 from dsvt_ai_trt_tpu.model.detector import forward_jit  # noqa: E402
 from dsvt_ai_trt_tpu.runtime.compile import enable_persistent_cache  # noqa: E402
