@@ -30,5 +30,7 @@ def scatter_max(point_feats: jax.Array, point_pillar: jax.Array,
                                                  indices_are_sorted=True)
     written = pillar_max > neg
     pillar_max = jnp.where(written, pillar_max, 0.0)
-    point_max = jnp.where(point_valid[:, None], pillar_max[point_pillar], 0.0)
+    point_max = jnp.where(
+        point_valid[:, None],
+        pillar_max.at[point_pillar].get(indices_are_sorted=True), 0.0)
     return point_max, pillar_max[:num_pillars]
