@@ -2,16 +2,30 @@
 
 Prints ONE JSON line:
   {"metric": "ms/frame end-to-end", "value": N, "unit": "ms",
-   "vs_baseline": 700/N}
+   "vs_baseline": 700/N, ...}
 
 Baseline: the reference reports ~0.7 s/frame on a GTX 1050 Mobile
 (README.md:47); vs_baseline is the speedup factor against that number.
 Measures steady state (post-compile) over the 10 data/bin frames with NMS
 in-graph, matching the reference's engine+NMS per-frame cost.
+
+Two timing families:
+  * wall clock (sync/latency/stream/batch) — includes the tunneled host
+    interface, the deployment-visible numbers;
+  * DEVICE time from a parsed jax.profiler trace (runtime/trace.py) —
+    per-dispatch device ms plus a per-stage table attributed by HLO op
+    source metadata.  The stage table sums to ~the device frame time, so
+    it can actually rank hot spots (the old sync-per-stage timers carried
+    a ~28 ms RTT per entry and could not).
+
+A Waymo-density pass (BASELINE config 5: raised caps, ~180K-point frames)
+runs in the same invocation and lands in the same JSON line (waymo_ms);
+set DSVT_BENCH_WAYMO=0 to skip it.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -22,35 +36,67 @@ REFERENCE_MS = 700.0
 DATA_DIR = os.environ.get("DSVT_BENCH_DATA", "/root/reference/data/bin")
 
 
+def load_frames(cfg, densify_to=None):
+    """Bundled frames, optionally densified to ~`densify_to` points by
+    jittered replication (the Waymo-density synthetic, BASELINE config 5)."""
+    from dsvt_ai_trt_tpu.io.pointcloud import frame_paths, load_bin
+
+    frames = [load_bin(p, cfg.max_points) for p in frame_paths(DATA_DIR)]
+    if densify_to:
+        rng = np.random.default_rng(0)
+        dense = []
+        for buf, n in frames:
+            pts = buf[: int(n)]
+            reps = [pts]
+            while sum(len(r) for r in reps) < densify_to:
+                jit = pts + rng.normal(0, 0.15, pts.shape).astype(np.float32)
+                reps.append(jit)
+            big = np.concatenate(reps)[: cfg.max_points]
+            out = np.zeros((cfg.max_points, 4), np.float32)
+            out[: len(big)] = big
+            dense.append((out, np.int32(len(big))))
+        frames = dense
+    return frames
+
+
+def stream_ms_per_frame(engine, frames, iters):
+    """Streaming throughput: frames dispatched back to back (async), every
+    output read back at the end in one transfer — nothing can hide
+    unexecuted, and the host interface costs one RPC total."""
+    import jax
+
+    t0 = time.perf_counter()
+    outs = []
+    for _ in range(iters):
+        for pts, n in frames:
+            outs.append(engine(pts, n))
+    jax.device_get([(d.boxes, d.count) for d in outs])
+    return (time.perf_counter() - t0) / (iters * len(frames)) * 1e3
+
+
 def main():
     import jax
 
-    from dsvt_ai_trt_tpu.config import DEFAULT_CONFIG
+    from dsvt_ai_trt_tpu.config import DEFAULT_CONFIG, WAYMO_CONFIG
     from dsvt_ai_trt_tpu import weights
     from dsvt_ai_trt_tpu.runtime.compile import Engine, enable_persistent_cache
-    from dsvt_ai_trt_tpu.io.pointcloud import frame_paths, load_bin
 
     enable_persistent_cache()
-    cfg = DEFAULT_CONFIG
     # default = the bf16 fast path (bf16 activations through matmuls/convs,
     # f32 accumulation/normalizations/decode — the TPU analogue of the
     # reference's USE_FP16 builder flag); box parity vs the fp32 path is
-    # validated by tools/parity_check.py for both "mixed" and "bf16"
-    # (worst-case on the bundled frames: recall/precision 0.90 on IoU>=0.5
-    # matching, max score drift 0.019, max center drift 0.07 m).  Set
-    # DSVT_BENCH_PRECISION=fp32 for the strict-parity path.
-    import dataclasses
+    # validated by tools/parity_check.py for both "mixed" and "bf16".
+    # Set DSVT_BENCH_PRECISION=fp32 for the strict-parity path.
     precision = os.environ.get("DSVT_BENCH_PRECISION", "bf16")
     approx = os.environ.get("DSVT_BENCH_APPROX_TOPK", "1") == "1"
-    cfg = dataclasses.replace(cfg, precision=precision, approx_topk=approx)
-
-    # Waymo-density stretch config (BASELINE config 5): raised caps +
-    # synthetic dense frames at ~180K points
+    cfg = dataclasses.replace(DEFAULT_CONFIG, precision=precision,
+                              approx_topk=approx)
+    waymo = os.environ.get("DSVT_BENCH_WAYMO", "1") == "1"
     if os.environ.get("DSVT_BENCH_DENSITY") == "waymo":
-        from dsvt_ai_trt_tpu.config import WAYMO_CONFIG
-        import dataclasses
+        # legacy mode: run ONLY the Waymo-density config as the main pass
         cfg = dataclasses.replace(WAYMO_CONFIG, precision=cfg.precision,
                                   approx_topk=cfg.approx_topk)
+        waymo = False
 
     ckpt = os.environ.get("DSVT_BENCH_WEIGHTS", "dsvt.npz")
     if os.path.exists(ckpt):
@@ -59,23 +105,8 @@ def main():
         params = weights.random_params(cfg, seed=0)
 
     engine = Engine(params, cfg, with_nms=True)
-    paths = frame_paths(DATA_DIR)
-    frames = [load_bin(p, cfg.max_points) for p in paths]
-    if os.environ.get("DSVT_BENCH_DENSITY") == "waymo":
-        # densify to ~180K points: replicate each frame's cloud with jitter
-        rng = np.random.default_rng(0)
-        dense = []
-        for buf, n in frames:
-            pts = buf[: int(n)]
-            reps = [pts]
-            while sum(len(r) for r in reps) < 180000:
-                jit = pts + rng.normal(0, 0.15, pts.shape).astype(np.float32)
-                reps.append(jit)
-            big = np.concatenate(reps)[: cfg.max_points]
-            out = np.zeros((cfg.max_points, 4), np.float32)
-            out[: len(big)] = big
-            dense.append((out, np.int32(len(big))))
-        frames = dense
+    dense_target = 180000 if cfg.max_points >= 180000 else None
+    frames = load_frames(cfg, densify_to=dense_target)
     frames = [(jax.device_put(p), jax.device_put(n)) for p, n in frames]
 
     # compile + warm.  NOTE: block_until_ready can return optimistically on
@@ -112,16 +143,7 @@ def main():
             jax.device_get((d.boxes, d.count))
     latency_ms = (time.perf_counter() - t0) / (iters * len(frames)) * 1e3
 
-    # streaming throughput: frames dispatched back to back (async), every
-    # output read back at the end in one transfer — nothing can hide
-    # unexecuted, and the host interface costs one RPC total
-    t0 = time.perf_counter()
-    outs = []
-    for _ in range(iters):
-        for pts, n in frames:
-            outs.append(engine(pts, n))
-    jax.device_get([(d.boxes, d.count) for d in outs])
-    stream_ms = (time.perf_counter() - t0) / (iters * len(frames)) * 1e3
+    stream_ms = stream_ms_per_frame(engine, frames, iters)
 
     # batched streaming (BASELINE config 5): all frames in one dispatch via
     # vmap — amortizes per-call dispatch and fills the MXU with batch work
@@ -145,27 +167,53 @@ def main():
 
     best = min(stream_ms, batch_ms)
 
-    # per-stage breakdown + MFU (VERDICT r1 task 3).  Stage timings carry
-    # one host-readback RTT each, so they rank hot spots rather than sum to
-    # the fused end-to-end time; FLOPs come from XLA cost analysis of the
-    # full fused program.
-    stages, mfu, flops_g = {}, None, None
-    if os.environ.get("DSVT_BENCH_STAGES", "1") == "1":
-        from dsvt_ai_trt_tpu.runtime.profiler import (
-            profile_stages, program_flops, device_peak_flops)
-        from dsvt_ai_trt_tpu.model.detector import forward as fwd
+    # trace-derived DEVICE times: per-dispatch device ms + per-stage table
+    # attributed by HLO source metadata (runtime/trace.py).  The table sums
+    # to ~device_ms and ranks hot spots for real; the old sync-per-stage
+    # timers (runtime/profiler.py) carried one tunnel RTT per entry.
+    device_ms = stages_dev = top_ops = None
+    if os.environ.get("DSVT_BENCH_TRACE", "1") == "1":
+        try:
+            from dsvt_ai_trt_tpu.runtime.trace import capture
 
-        pts0, n0 = frames[0]
-        timer = profile_stages(params_d, pts0, n0, cfg, iters=3)
-        stages = {name: round(s["mean_ms"], 2)
-                  for name, s in timer.summary().items()}
-        total_flops = program_flops(
-            lambda p, n: fwd(params_d, p, n, cfg, True), pts0, n0)
-        peak = device_peak_flops(cfg.precision)
-        if total_flops:
-            flops_g = round(total_flops / 1e9, 1)
-            if peak:
-                mfu = round(total_flops / (best / 1e3) / peak, 4)
+            prof = capture(engine, frames[0], iters=8)
+            device_ms = round(prof.device_ms_per_iter, 3)
+            stages_dev = prof.stage_ms()
+            top_ops = {r["name"]: r["ms"] for r in prof.top_ops(5)}
+        except Exception as exc:  # trace capture is best-effort
+            import logging
+            logging.getLogger("bench").warning("trace capture failed: %s", exc)
+
+    # FLOPs / MFU from XLA cost analysis of the fused program
+    mfu = flops_g = mfu_device = None
+    from dsvt_ai_trt_tpu.runtime.profiler import (program_flops,
+                                                  device_peak_flops)
+    from dsvt_ai_trt_tpu.model.detector import forward as fwd
+
+    pts0, n0 = frames[0]
+    total_flops = program_flops(
+        lambda p, n: fwd(params_d, p, n, cfg, True), pts0, n0)
+    peak = device_peak_flops(cfg.precision)
+    if total_flops:
+        flops_g = round(total_flops / 1e9, 1)
+        if peak:
+            mfu = round(total_flops / (best / 1e3) / peak, 4)
+            if device_ms:
+                mfu_device = round(total_flops / (device_ms / 1e3) / peak, 4)
+
+    # Waymo-density stretch in the same artifact (VERDICT r2 task 4)
+    waymo_ms = None
+    if waymo:
+        wcfg = dataclasses.replace(WAYMO_CONFIG, precision=cfg.precision,
+                                   approx_topk=cfg.approx_topk)
+        wparams = weights.random_params(wcfg, seed=0)
+        wengine = Engine(wparams, wcfg, with_nms=True)
+        wframes = load_frames(wcfg, densify_to=180000)
+        wframes = [(jax.device_put(p), jax.device_put(n)) for p, n in wframes]
+        wengine.warmup()
+        for pts, n in wframes:
+            np.asarray(wengine(pts, n).count)
+        waymo_ms = round(stream_ms_per_frame(wengine, wframes, max(iters // 2, 2)), 3)
 
     result = {
         "metric": "ms/frame end-to-end",
@@ -177,11 +225,15 @@ def main():
         "stream_ms_per_frame": round(stream_ms, 3),
         "batch_ms_per_frame": round(batch_ms, 3),
         "batch_size": bsz,
+        "waymo_ms": waymo_ms,
         "precision": cfg.precision,
         "approx_topk": cfg.approx_topk,
-        "stages_ms": stages,
+        "device_ms_per_frame": device_ms,
+        "stages_device_ms": stages_dev,
+        "top_ops_device_ms": top_ops,
         "flops_g": flops_g,
         "mfu": mfu,
+        "mfu_device": mfu_device,
         "device": jax.devices()[0].device_kind,
     }
     print(json.dumps(result))

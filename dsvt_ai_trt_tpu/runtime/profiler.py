@@ -80,14 +80,24 @@ def program_flops(fn, *args) -> float:
     """Total FLOPs of the compiled program via XLA's cost analysis.
 
     Returns 0.0 when the backend doesn't expose cost analysis (e.g. some
-    plugin runtimes)."""
+    plugin runtimes) — loudly, so an MFU of null in a bench artifact is
+    traceable to the logged cause rather than read as "no regression"."""
+    import logging
     try:
         compiled = jax.jit(fn).lower(*args).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else {}
-        return float(ca.get("flops", 0.0))
-    except Exception:  # pragma: no cover - backend-specific
+        flops = float(ca.get("flops", 0.0))
+        if not flops:
+            logging.getLogger(__name__).warning(
+                "XLA cost analysis returned no 'flops' key (keys: %s); "
+                "MFU will be omitted", sorted(ca)[:10])
+        return flops
+    except Exception as exc:  # pragma: no cover - backend-specific
+        logging.getLogger(__name__).warning(
+            "XLA cost analysis unavailable (%s: %s); MFU will be omitted",
+            type(exc).__name__, exc)
         return 0.0
 
 
