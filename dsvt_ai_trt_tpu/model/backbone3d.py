@@ -70,15 +70,23 @@ def pos_embed_mlp(xy: jax.Array, mlp: dict, precision: str = "fp32") -> jax.Arra
 
 
 def _with_dump_row(x: jax.Array) -> jax.Array:
+    """[P, C] -> [P+1, C] with a zero dump row (the set_attention debug/
+    training helper's table convention; the fast path uses OOB-fill)."""
     return jnp.concatenate([x, jnp.zeros((1, x.shape[-1]), x.dtype)], axis=0)
 
 
 def _scatter_back(attn_out: jax.Array, canon: jax.Array) -> jax.Array:
     """Gather each pillar's canonical set-slot output.  attn_out: [S, K, C];
-    canon: [P] flat slot (S*K = dump).  Returns [P, C]."""
+    canon: [P] flat slot (S*K = dump -> fill 0).  Returns [P, C].
+
+    mode="fill" turns the dump slot into an out-of-bounds fill instead of a
+    concatenated zero row: the concat materialized a full [S*K, C] copy
+    (~0.08 ms x16 passes in the round-3 trace); the fill is a fused select.
+    """
     S, K, C = attn_out.shape
-    flat = _with_dump_row(attn_out.reshape(S * K, C))
-    return flat[canon]
+    flat = attn_out.reshape(S * K, C)
+    return jnp.take(flat, canon, axis=0, mode="fill", fill_value=0,
+                    unique_indices=False)
 
 
 def backbone3d_forward(pillar_feats: jax.Array,
@@ -133,7 +141,7 @@ def backbone3d_forward(pillar_feats: jax.Array,
             v_p = _dense(x, enc["wv"], enc["bv"], precision)
 
             attn = set_attention_qkv(
-                _with_dump_row(q_p), _with_dump_row(k_p), _with_dump_row(v_p),
+                q_p, k_p, v_p,
                 constrain_rows(sp.inds[e]), constrain_rows(sp.key_mask),
                 cfg.num_heads, precision)
             attn_p = _scatter_back(constrain_rows(attn), sp.canon[e])

@@ -37,8 +37,9 @@ def set_attention_qkv(q_p: jax.Array, k_p: jax.Array, v_p: jax.Array,
 
     Projections run on the [P, C] pillar arrays (the gather commutes with
     row-wise linears), so the per-set work is just two batched matmuls.
-    q_p/k_p/v_p: [P+1, C] with a zero dump row; inds: [S, K]; returns
-    [S, K, C] pre-out-projection attention output.
+    q_p/k_p/v_p: [P, C] (no dump row — the dump sentinel P gathers
+    out-of-bounds and fills 0); inds: [S, K]; returns [S, K, C]
+    pre-out-projection attention output.
     """
     S, K = inds.shape
     C = q_p.shape[-1]
@@ -54,7 +55,10 @@ def set_attention_qkv(q_p: jax.Array, k_p: jax.Array, v_p: jax.Array,
     # ONE wide gather instead of three: TPU row-gather cost is per-row
     # (latency-bound — a 3x wider row costs ~1.2x, measured), so fusing the
     # q/k/v tables into a [P, 3C] table makes the set gather ~2.5x cheaper.
-    qkv = jnp.concatenate([q_p, k_p, v_p], axis=-1).astype(gt)[inds]
+    # The dump slot is an out-of-bounds FILL, not a concatenated zero row —
+    # the concat cost a full-table copy per pass (round-3 trace).
+    qkv = jnp.take(jnp.concatenate([q_p, k_p, v_p], axis=-1).astype(gt),
+                   inds, axis=0, mode="fill", fill_value=0)
     q = qkv[..., :C].reshape(S, K, H, D)
     k = qkv[..., C:2 * C].reshape(S, K, H, D)
     v = qkv[..., 2 * C:].reshape(S, K, H, D)

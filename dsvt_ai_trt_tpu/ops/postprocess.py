@@ -25,10 +25,18 @@ from ..config import DSVTConfig
 class Detections(NamedTuple):
     """boxes: [K, 9] = (x, y, z, dx, dy, dz, heading, class, score); rows
     past `count` are zero.  Matches FilterBoxByScorePlugin's output layout
-    (filterBoxByScore.cu:297-306)."""
+    (filterBoxByScore.cu:297-306).
+
+    occupancy: optional [2 + n_window_specs] int32 =
+    (kept points, pillars, sets per window spec) — the frame's measured
+    occupancy against the static caps, filled by model.detector.forward so
+    the runtime can flag silent cap saturation (the reference truncates
+    silently at every one of these caps: points2Features.cu:697/751,
+    getSet.cu allocation).  None outside the full-detector path."""
 
     boxes: jax.Array
     count: jax.Array
+    occupancy: jax.Array = None
 
 
 def decode_lazy_branches(shared: jax.Array, inds: jax.Array, head_params: Dict,
@@ -48,12 +56,18 @@ def decode_lazy_branches(shared: jax.Array, inds: jax.Array, head_params: Dict,
     ys = inds // W
     xs = inds % W
 
-    pad = jnp.pad(shared, ((2, 2), (2, 2), (0, 0))).reshape(-1, C)
-    Wp = W + 4
-    base = (ys + 2) * Wp + (xs + 2)
-    offs = jnp.asarray([(dy - 2) * Wp + (dx - 2)
-                        for dy in range(5) for dx in range(5)], jnp.int32)
-    patch = pad[(base[:, None] + offs[None, :]).reshape(-1)]
+    # gather the 5x5 patches straight from the UNPADDED map with per-offset
+    # bounds masking: jnp.pad materialized a [H+4, W+4, C] copy plus two
+    # relayout copies (~1.5 ms in the round-3 trace) just to make border
+    # reads zero; a where() on the gathered [K, 25, C] is free
+    oy = jnp.asarray([dy - 2 for dy in range(5) for _ in range(5)], jnp.int32)
+    ox = jnp.asarray([dx - 2 for _ in range(5) for dx in range(5)], jnp.int32)
+    py = ys[:, None] + oy[None, :]                           # [K, 25]
+    px = xs[:, None] + ox[None, :]
+    in_bounds = (py >= 0) & (py < H) & (px >= 0) & (px < W)
+    idx = jnp.where(in_bounds, py * W + px, 0)
+    patch = jnp.take(shared.reshape(-1, C), idx.reshape(-1), axis=0)
+    patch = jnp.where(in_bounds.reshape(-1)[:, None], patch, 0)
     patch = patch.reshape(K, 5, 5, C).astype(dt)            # [K, 5, 5, 64]
 
     # im2col of the 3x3 hidden positions over the 5x5 patch

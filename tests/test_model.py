@@ -95,3 +95,18 @@ def test_batch_forward_matches_single(tiny_cfg, rng):
         assert int(batch.count[i]) == int(ref.count)
         np.testing.assert_allclose(np.asarray(batch.boxes[i]),
                                    np.asarray(ref.boxes), atol=1e-4, rtol=1e-4)
+
+
+def test_rowconv3_matches_2d_conv(rng):
+    """The row-batched head conv (model/head.py:_rowconv3) must equal the
+    N=1 2D conv formulation exactly (same algebra, different layout)."""
+    import jax.numpy as jnp
+    from dsvt_ai_trt_tpu.model.head import _rowconv3
+    from dsvt_ai_trt_tpu.model.backbone2d import _conv
+
+    x = jnp.asarray(rng.normal(0, 1, (17, 23, 12)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.3, (3, 3, 12, 5)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 0.1, (5,)).astype(np.float32))
+    got = np.asarray(_rowconv3(x, w, b, "fp32"))
+    want = np.asarray(_conv(x, w, b, 1, "fp32"))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)

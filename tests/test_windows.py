@@ -143,7 +143,7 @@ def test_duplicate_slots_produce_identical_attention_outputs(tiny_cfg, rng):
     assert (inds[:, 1:] == inds[:, :-1]).any(), "no duplicate slots planted"
 
     C = cfg.d_model
-    table = rng.normal(0, 1, (cfg.max_pillars + 1, C)).astype(np.float32)
+    table = rng.normal(0, 1, (cfg.max_pillars, C)).astype(np.float32)
     q = jnp.asarray(table)
     out = np.asarray(set_attention_qkv(q, q, q, sp.inds[0], sp.key_mask,
                                        cfg.num_heads, "fp32"))
