@@ -80,6 +80,98 @@ def test_end_to_end_box_parity(checkpoint):
 
 
 @pytest.mark.skipif(not os.path.isdir(REF_BIN), reason="reference data absent")
+def test_post_nms_oracle_parity(checkpoint):
+    """Close the one stage the pre-NMS parity gate skips: run the oracle's
+    serial helper.h NMS (tests/oracles.py:nms_oracle, re-derived from
+    helper.h:257-283) on the oracle's boxes and compare KEPT sets against
+    the in-graph device NMS output, all 3 frames (VERDICT r2 task 7).
+
+    At IoU 0.01 survivors are well-separated, so kept sets must agree
+    box-for-box outside (a) the score threshold-margin band and (b)
+    suppression-margin churn: a survivor on one side may be absent on the
+    other only if it overlaps one of that side's kept boxes (i.e. its
+    suppressor flipped due to ~1e-4 score reordering)."""
+    import torch
+    import jax.numpy as jnp
+    from tools.torch_oracle import DSVTOracle, run_oracle, load_bin
+    from oracles import nms_oracle, box_overlap_oracle
+    from dsvt_ai_trt_tpu.model.detector import forward_jit
+
+    cfg, raw, wts_path = checkpoint
+    torch.set_num_threads(os.cpu_count() or 4)
+    oracle = DSVTOracle()
+    oracle.load_wts(wts_path)
+    params = weights.prepare_params(raw, cfg)
+
+    def overlaps_kept(box, kept, thresh=cfg.nms_threshold):
+        for kb in kept:
+            if int(kb[7]) != int(box[7]):
+                continue
+            ov = box_overlap_oracle(box, kb)
+            iou = ov / max(box[3] * box[4] + kb[3] * kb[4] - ov, 1e-8)
+            if iou >= thresh * 0.5:
+                return True
+        return False
+
+    for frame in FRAMES:
+        pts = load_bin(os.path.join(REF_BIN, f"{frame}.bin"))
+        boxes_o = run_oracle(oracle, pts, parity_atan=True)
+        keep = nms_oracle(boxes_o, len(boxes_o), cfg.nms_threshold)
+        kept_o = boxes_o[keep]
+
+        buf = np.zeros((cfg.max_points, 4), np.float32)
+        buf[: len(pts)] = pts
+        dets = forward_jit(params, jnp.asarray(buf), jnp.int32(len(pts)),
+                           cfg, with_nms=True)
+        kept_j = np.asarray(dets.boxes)[: int(dets.count)]
+
+        margin = 0.3 + 5e-3
+        for mine, theirs, tag in ((kept_o, kept_j, "oracle"),
+                                  (kept_j, kept_o, "jax")):
+            for b in mine:
+                if b[8] < margin:
+                    continue  # threshold-band churn, documented
+                d = np.hypot(theirs[:, 0] - b[0], theirs[:, 1] - b[1])
+                same = theirs[:, 7] == b[7]
+                ok = np.any(same & (d < 0.5))
+                assert ok or overlaps_kept(b, theirs), (
+                    f"{frame}: confident {tag} NMS survivor has no "
+                    f"counterpart and no suppression-margin witness: {b}")
+        # the two kept sets must agree in size up to the churn bands
+        assert abs(len(kept_o) - len(kept_j)) <= max(
+            3, int(0.1 * max(len(kept_o), len(kept_j)))), (
+            f"{frame}: kept-set sizes diverge: oracle {len(kept_o)} "
+            f"vs jax {len(kept_j)}")
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_BIN), reason="reference data absent")
+def test_voxelizer_caps_nonbinding():
+    """The oracle now enforces the reference's compaction buffer caps
+    (MAX_PILLARS_NUM / MAX_POINTS_NUM_1, points2Features.cu:732-766 +
+    params.h:25-26).  Assert (a) neither cap binds on any bundled frame —
+    so capping cannot explain away a parity failure — and (b) the caps DO
+    truncate on a synthetic overflow, i.e. they are really implemented."""
+    from tools.torch_oracle import (voxelize, load_bin, MAX_PILLARS,
+                                    MAX_KEPT_POINTS)
+
+    for frame in FRAMES:
+        pts = load_bin(os.path.join(REF_BIN, f"{frame}.bin"))
+        feats, point_pillar, coords, counts = voxelize(pts)
+        assert len(coords) < MAX_PILLARS, frame
+        assert len(feats) < MAX_KEPT_POINTS, frame
+
+    # synthetic overflow: 110 x 110 = 12100 occupied cells of one point each
+    g = np.arange(110, dtype=np.float32) * 0.32 - 17.0 + 0.16
+    xs, ys = np.meshgrid(g, g)
+    over = np.stack([xs.ravel(), ys.ravel(),
+                     np.zeros(xs.size, np.float32),
+                     np.ones(xs.size, np.float32)], axis=1)
+    feats, point_pillar, coords, counts = voxelize(over)
+    assert len(coords) == MAX_PILLARS
+    assert len(feats) == MAX_PILLARS  # one point per pillar here
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_BIN), reason="reference data absent")
 def test_unfolded_export_loads_in_oracle(tmp_path):
     """Trained-parameter export contract: params -> unfold_params ->
     save_wts must load into the torch oracle (torch defines the shape/name

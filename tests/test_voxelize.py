@@ -77,3 +77,66 @@ def test_points_out_of_range_dropped(tiny_cfg):
     out = voxelize(buf, np.int32(3), cfg)
     assert int(out.point_count) == 1
     assert int(out.pillar_count) == 1
+
+
+def test_edge_binning_census_vs_reference_floor():
+    """Census of the documented divergence (README divergence 5): edge-table
+    binning vs the reference's fp32 floorf((v - min) / size)
+    (points2Features.cu:687-688), over every in-range point of the three
+    distinct bundled frames.  Asserts the divergence set is EXACTLY the
+    sub-ulp boundary class — every divergent coordinate sits within one fp32
+    ulp OF THE SHIFTED COORDINATE (v - vmin), the quantity the reference's
+    own fp32 subtract quantizes, of a float64-exact grid line, and moves by
+    exactly one bin — and reports the count.  (E.g. x = -2.75e-6 with
+    vmin = -74.88: ulp(74.88f) = 7.6e-6 swallows the offset, so floorf bins
+    it at x >= 0 while the true grid line is 0.0.)"""
+    import os
+    import pytest
+
+    ref_bin = "/root/reference/data/bin"
+    if not os.path.isdir(ref_bin):
+        pytest.skip("reference data absent")
+
+    from dsvt_ai_trt_tpu.config import DEFAULT_CONFIG
+    from dsvt_ai_trt_tpu.ops.voxelize import cell_edges
+
+    cfg = DEFAULT_CONFIG
+    total = diverged = 0
+    for frame in ("000000", "000003", "000004"):
+        pts = np.fromfile(os.path.join(ref_bin, frame + ".bin"),
+                          np.float32).reshape(-1, 4)
+        in_range = np.ones(len(pts), bool)
+        for a in range(3):
+            in_range &= ((pts[:, a] >= cfg.pc_range_min[a])
+                         & (pts[:, a] < cfg.pc_range_max[a]))
+        pts = pts[in_range]
+        for a, (vmin, vsize, n) in enumerate(
+                zip(cfg.pc_range_min, cfg.voxel_size,
+                    (cfg.grid_size[0], cfg.grid_size[1], cfg.grid_size[2]))):
+            v = pts[:, a]
+            # the reference rule, in the same fp32 ops CUDA uses
+            # (correctly-rounded fp32 subtract/divide, then floor)
+            q_ref = np.floor((v - np.float32(vmin)) / np.float32(vsize))
+            q_ref = np.clip(q_ref.astype(np.int64), 0, n - 1)
+            edges = cell_edges(vmin, vsize, n)
+            q_edge = np.clip(np.searchsorted(edges, v, "right") - 1, 0, n - 1)
+
+            total += len(v)
+            diff = np.nonzero(q_ref != q_edge)[0]
+            diverged += len(diff)
+            for i in diff:
+                hi = max(q_ref[i], q_edge[i])
+                assert abs(q_ref[i] - q_edge[i]) == 1, (
+                    frame, a, v[i], q_ref[i], q_edge[i])
+                edge64 = np.float64(vmin) + np.float64(vsize) * np.float64(hi)
+                dist = abs(np.float64(v[i]) - edge64)
+                shifted_ulp = np.spacing(np.float32(
+                    abs(np.float64(v[i]) - np.float64(vmin))))
+                assert dist <= shifted_ulp, (
+                    f"{frame} axis{a}: divergent point {v[i]!r} is "
+                    f"{dist:.3e} from edge {edge64!r} — beyond one ulp of "
+                    f"the shifted coordinate ({shifted_ulp:.3e})")
+    # the measured census (cited in README divergence 5)
+    print(f"binning census: {diverged}/{total} coords diverge "
+          f"(all sub-ulp boundary class)")
+    assert diverged < total * 1e-3

@@ -46,6 +46,8 @@ PC_MAX = (74.88, 74.88, 3.0)
 VOXEL = (0.32, 0.32, 8.0)
 GRID = (468, 468, 1)            # (x, y, z)
 CAP_PER_PILLAR = 48             # POINTS_NUM_PER_VOXEL
+MAX_PILLARS = 10000             # MAX_PILLARS_NUM (params.h:26)
+MAX_KEPT_POINTS = 30000         # MAX_POINTS_NUM_1 (params.h:25)
 D_MODEL = 192
 NUM_HEADS = 8
 FFN_DIM = 384
@@ -281,7 +283,22 @@ def voxelize(points: np.ndarray):
 
     feats, point_pillar, coords, counts = [], [], [], []
     half = f32(0.5)
+    # compaction caps (buffer sizes in the reference; its kernels bound-
+    # check NEITHER counter — generateBaseFeatures_kernel atomicAdds
+    # pillar_num without limit (points2Features.cu:751) and
+    # generateFeatures_kernel atomicAdds point_num without limit (cu:829),
+    # so exceeding MAX_PILLARS_NUM / MAX_POINTS_NUM_1 is a buffer overflow
+    # there.  The sane emulation truncates at the buffer sizes; on the
+    # bundled frames neither cap binds (asserted by
+    # tests/test_oracle_parity.py::test_voxelizer_caps_nonbinding).
+    point_budget = MAX_KEPT_POINTS
     for pid, (cell, members) in enumerate(groups.items()):
+        if pid >= MAX_PILLARS:
+            break
+        if point_budget <= 0:
+            break
+        members = members[:point_budget]
+        point_budget -= len(members)
         pts = points[members]                       # capped membership
         mean = pts[:, :3].mean(axis=0).astype(f32)  # cluster center (cu:812-825)
         for j, p in zip(members, pts):
