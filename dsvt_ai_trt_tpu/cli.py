@@ -102,11 +102,12 @@ def cmd_convert(args):
 def cmd_eval(args):
     """Compare two output directories box-by-box (order-insensitive)."""
     from .io.output import load_txt
-    from .eval import match_boxes
+    from .eval import match_boxes, parity_ok
     import glob
     ref_files = {os.path.basename(p): p
                  for p in glob.glob(os.path.join(args.ref, "*.txt"))}
     agg = {"frames": 0, "matched": 0, "pred": 0, "ref": 0}
+    all_ok = True
     for pred_path in sorted(glob.glob(os.path.join(args.pred, "*.txt"))):
         name = os.path.basename(pred_path)
         if name not in ref_files:
@@ -116,6 +117,10 @@ def cmd_eval(args):
         # txt rows are (x,y,z,l,w,h,rt,id,score) == box layout
         stats = match_boxes(pred, ref, iou_threshold=args.iou)
         stats["frame"] = name
+        if args.gate is not None:
+            stats["parity_ok"] = parity_ok(pred, ref, args.iou,
+                                           args.gate, args.gate)
+            all_ok = all_ok and stats["parity_ok"]
         print(json.dumps(stats))
         agg["frames"] += 1
         agg["matched"] += stats["n_match"]
@@ -124,6 +129,8 @@ def cmd_eval(args):
     agg["precision"] = agg["matched"] / max(agg["pred"], 1)
     agg["recall"] = agg["matched"] / max(agg["ref"], 1)
     print(json.dumps(agg))
+    if args.gate is not None and not all_ok:
+        raise SystemExit(1)
 
 
 def cmd_train(args):
@@ -277,6 +284,9 @@ def main(argv=None):
     p.add_argument("--pred", required=True)
     p.add_argument("--ref", required=True)
     p.add_argument("--iou", type=float, default=0.5)
+    p.add_argument("--gate", type=float, default=None, metavar="MIN",
+                   help="exit 1 unless every frame reaches this "
+                        "recall AND precision (CI parity gate)")
     p.set_defaults(fn=cmd_eval)
 
     args = ap.parse_args(argv)

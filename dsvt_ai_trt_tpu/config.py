@@ -136,9 +136,17 @@ class DSVTConfig:
         for key in ("voxel_size", "pc_range_min", "pc_range_max", "grid_size",
                     "sparse_shape", "pfn_channels"):
             raw[key] = tuple(raw[key])
-        # drop keys from older stamps (e.g. a removed field): the equality
-        # check in runtime.compile.load_engine still flags real mismatches
+        # drop keys from older stamps (e.g. a removed field) — loudly, since
+        # a removed-but-behavioral field (an old attn_impl, say) would
+        # otherwise weaken load_engine's config-mismatch guard silently
         known = {f.name for f in dataclasses.fields(DSVTConfig)}
+        dropped = sorted(set(raw) - known)
+        if dropped:
+            import logging
+            logging.getLogger(__name__).warning(
+                "config stamp carries unknown fields %s (from an older/newer "
+                "schema); they are ignored — verify the engine's semantics "
+                "match if any were behavioral", dropped)
         raw = {k: v for k, v in raw.items() if k in known}
         return DSVTConfig(**raw)
 

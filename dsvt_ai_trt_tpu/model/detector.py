@@ -62,7 +62,13 @@ def forward(params: Dict, points: jax.Array, num_points: jax.Array,
             dets.boxes, dets.count, cfg.nms_threshold,
             use_pallas=None if cfg.use_pallas else False)
         dets = Detections(boxes=boxes, count=count)
-    return dets
+    # measured occupancy vs the static caps, riding along in the output so
+    # the runtime can flag silent truncation on denser-than-calibration
+    # frames (runtime/infer.py); order matches Detections docstring
+    occupancy = jnp.stack(
+        [pillars.point_count, pillars.pillar_count]
+        + [sp.set_count for sp in sparts]).astype(jnp.int32)
+    return dets._replace(occupancy=occupancy)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "with_nms"))

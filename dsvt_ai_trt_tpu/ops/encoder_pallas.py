@@ -77,6 +77,17 @@ def encoder_epilogue(x: jax.Array, attn_raw: jax.Array, enc: dict,
         if P % cand == 0:
             block = cand
             break
+    # a P with no large aligned divisor (e.g. 8x a prime) would fall back to
+    # a P/8-step grid that re-streams the ~0.3 MB weight set every step;
+    # instead pad the row count up to a 512 multiple (rows are zero, their
+    # outputs are sliced off below) and run with a dense block
+    pad = 0
+    if block < 64:
+        pad = -P % 512
+        block = 512
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        attn_raw = jnp.pad(attn_raw, ((0, pad), (0, 0)))
+        P += pad
 
     ln = jnp.stack([enc["ln1_g"], enc["ln1_b"], enc["ln2_g"], enc["ln2_b"],
                     enc["norm_g"], enc["norm_b"]]).astype(jnp.float32)
@@ -107,4 +118,4 @@ def encoder_epilogue(x: jax.Array, attn_raw: jax.Array, enc: dict,
       enc["wo"].astype(dt), enc["bo"][None].astype(jnp.float32),
       enc["ffn_w1"].astype(dt), enc["ffn_b1"][None].astype(jnp.float32),
       enc["ffn_w2"].astype(dt), enc["ffn_b2"][None].astype(jnp.float32),
-      ln)
+      ln)[:P - pad]

@@ -163,26 +163,6 @@ def pairwise_rotated_overlap(boxes: jax.Array) -> jax.Array:
     return jnp.where(cnt >= 3, area, 0.0)
 
 
-def _next_valid_index(valid: jax.Array) -> jax.Array:
-    """For each slot, the index of the next valid slot (cyclic).
-
-    valid: [..., V] bool.  Pure elementwise + cumulative ops (no sort,
-    no scatter) so it vectorizes over the leading pair dims.
-    """
-    V = valid.shape[-1]
-    big = jnp.int32(2 * V)
-    pos = jnp.where(valid, jax.lax.broadcasted_iota(jnp.int32, valid.shape,
-                                                    valid.ndim - 1), big)
-    # suffix min of positions strictly after i
-    rev = jnp.flip(pos, axis=-1)
-    suffix = jnp.flip(jax.lax.cummin(rev, axis=rev.ndim - 1), axis=-1)
-    after = jnp.concatenate([suffix[..., 1:],
-                             jnp.full(suffix.shape[:-1] + (1,), big)], axis=-1)
-    first = jnp.min(pos, axis=-1, keepdims=True)
-    nxt = jnp.where(after < big, after, first)
-    return jnp.minimum(nxt, V - 1)
-
-
 def pairwise_overlap_clip(boxes: jax.Array) -> jax.Array:
     """Exact pairwise intersection area via vectorized Sutherland–Hodgman.
 

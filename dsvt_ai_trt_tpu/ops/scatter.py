@@ -19,7 +19,18 @@ def scatter_max(point_feats: jax.Array, point_pillar: jax.Array,
     Returns (max_point_feats [P1, C], max_pillar_feats [num_pillars, C]).
     Empty pillars and invalid rows produce zeros (the reference zero-memsets
     its outputs each call, torchScatterMax.cu enqueue).
+
+    PRECONDITION: ``point_pillar`` must be nondecreasing (invalid rows carry
+    the sentinel ``num_pillars``, which sorts last).  ops/voxelize emits
+    exactly this layout — points cell-sorted with invalid rows at the tail —
+    and both the scatter-max and the gather below pass
+    ``indices_are_sorted=True`` on the strength of it; an unsorted caller
+    would silently compute wrong pillar maxima on TPU.
     """
+    if __debug__ and point_pillar.shape[0] and not isinstance(
+            point_pillar, jax.core.Tracer):
+        assert bool(jnp.all(point_pillar[1:] >= point_pillar[:-1])), \
+            "scatter_max requires nondecreasing point_pillar"
     neg = jnp.float32(-1.0e6)  # reference init value (torchScatterMax.cu:214)
     guarded = jnp.where(point_valid[:, None], point_feats, neg)
     pillar_max = jnp.full((num_pillars + 1, point_feats.shape[1]), neg,

@@ -63,12 +63,33 @@ def run_frames(engine: Engine, paths: List[str], out_dir: Optional[str] = None,
 
     t_prev = time.perf_counter()
 
+    # cap names aligned with Detections.occupancy order
+    cap_names = ["max_kept_points", "max_pillars"] + [
+        f"max_sets[{i}]" for i in range(len(cfg.window_specs))]
+    caps = np.array([cfg.max_kept_points, cfg.max_pillars]
+                    + [cfg.max_sets_for(s) for s in cfg.window_specs])
+
     def finish(path, dets):
         nonlocal t_prev
-        # one transfer for boxes+count: every separate host read costs a
-        # full round trip on tunneled runtimes (see bench.py)
-        boxes, count = jax.device_get((dets.boxes, dets.count))
+        # one transfer for boxes+count+occupancy: every separate host read
+        # costs a full round trip on tunneled runtimes (see bench.py)
+        boxes, count, occ = jax.device_get(
+            (dets.boxes, dets.count, dets.occupancy))
         count = int(count)
+        saturated = []
+        if occ is not None:
+            # every cap truncates silently in-graph (voxelize tail drop,
+            # set-partition dump slots) — the reference does the same
+            # (points2Features.cu:697/751); surface it here instead
+            saturated = [cap_names[i] for i in range(len(caps))
+                         if occ[i] >= caps[i]]
+            if saturated:
+                log.warning(
+                    "%s: occupancy hit static cap(s) %s (occupancy %s vs "
+                    "caps %s) — points/pillars/sets were silently dropped; "
+                    "raise the caps (see `cli stats`)",
+                    os.path.basename(path), saturated, occ.tolist(),
+                    caps.tolist())
         now = time.perf_counter()
         seconds = now - t_prev
         t_prev = now
@@ -82,7 +103,7 @@ def run_frames(engine: Engine, paths: List[str], out_dir: Optional[str] = None,
             save_txt(boxes, count, seconds, os.path.join(out_dir, name + ".txt"))
         log.info("%s: %d boxes, %.1f ms", name, count, seconds * 1e3)
         results.append({"frame": name, "boxes": boxes[:count], "count": count,
-                        "seconds": seconds})
+                        "seconds": seconds, "saturated": saturated})
 
     inflight: List[tuple] = []
     for path, pts, n in staged:

@@ -103,3 +103,31 @@ def test_encoder_epilogue_pallas_matches_xla(tiny_cfg, rng):
     got = encoder_epilogue(x, a, enc, cfg.ln_eps, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_encoder_epilogue_pads_awkward_row_counts(tiny_cfg, rng):
+    """A row count with no large 8-aligned divisor (8x a prime) must pad up
+    to a dense block rather than fall back to a P/8-step grid that
+    re-streams the weights every step (ADVICE r2)."""
+    import jax.numpy as jnp
+    from dsvt_ai_trt_tpu import weights
+    from dsvt_ai_trt_tpu.ops.attention import layer_norm, ffn
+    from dsvt_ai_trt_tpu.ops.encoder_pallas import encoder_epilogue
+
+    cfg = tiny_cfg
+    params = weights.random_params(cfg, seed=4)
+    enc = params["blocks"][0]["enc"][0]
+    P, C = 8 * 31, cfg.d_model  # 248: largest 8-aligned divisor is 8
+    x = jnp.asarray(rng.normal(0, 1, (P, C)).astype(np.float32))
+    a = jnp.asarray(rng.normal(0, 0.5, (P, C)).astype(np.float32))
+
+    attn_p = a @ enc["wo"] + enc["bo"]
+    x1 = layer_norm(x + attn_p, enc["ln1_g"], enc["ln1_b"], cfg.ln_eps)
+    x2 = layer_norm(x1 + ffn(x1, enc, "fp32"), enc["ln2_g"], enc["ln2_b"],
+                    cfg.ln_eps)
+    ref = layer_norm(x2 + x, enc["norm_g"], enc["norm_b"], cfg.ln_eps)
+
+    got = encoder_epilogue(x, a, enc, cfg.ln_eps, interpret=True)
+    assert got.shape == (P, C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
