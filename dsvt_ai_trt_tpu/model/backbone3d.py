@@ -84,9 +84,12 @@ def _scatter_back(attn_out: jax.Array, canon: jax.Array) -> jax.Array:
     (~0.08 ms x16 passes in the round-3 trace); the fill is a fused select.
     """
     S, K, C = attn_out.shape
-    flat = attn_out.reshape(S * K, C)
-    return jnp.take(flat, canon, axis=0, mode="fill", fill_value=0,
-                    unique_indices=False)
+    # 2D (set, slot) gather straight from the [S, K, C] attention output:
+    # flattening to [S*K, C] first forced a full-tensor relayout copy (the
+    # K=36 sublane dim pads to 40, so the reshape is not a bitcast —
+    # 1.2 ms/frame across the 16 passes in the round-3 trace).  The dump
+    # sentinel canon == S*K maps to set index S, out of bounds -> fill 0.
+    return attn_out.at[canon // K, canon % K].get(mode="fill", fill_value=0)
 
 
 def backbone3d_forward(pillar_feats: jax.Array,

@@ -166,9 +166,14 @@ def set_partition(part: WindowPartition, pillar_valid: jax.Array,
 
     src_pos = win_start[wos][:, None] + local                       # [S, K]
     src_pos = jnp.where(set_valid[:, None], src_pos, P - 1)
+    # both axes read the SAME positions (the window segmentation is axis-
+    # independent), so one [P, 2] row gather replaces two 1-column gathers
+    # (column gathers are latency-bound per op, ~0.2 ms each at [S, K])
+    orders = jnp.stack([order_y, order_x], axis=1)                  # [P, 2]
+    picked = orders[src_pos]                                        # [S, K, 2]
     inds = jnp.stack([
-        jnp.where(set_valid[:, None], order_y[src_pos], P),
-        jnp.where(set_valid[:, None], order_x[src_pos], P),
+        jnp.where(set_valid[:, None], picked[..., 0], P),
+        jnp.where(set_valid[:, None], picked[..., 1], P),
     ])                                                              # [2, S, K]
 
     # duplicate-slot mask: slot k>0 masked iff local[k]==local[k-1]
@@ -182,17 +187,28 @@ def set_partition(part: WindowPartition, pillar_valid: jax.Array,
 
     # canonical inverse: pillar with in-window rank r maps to flat slot
     # m = ceil(r * K*n_sets / N); valid because Eq.(3) is nondecreasing in m.
+    # per-window-rank lookup rows, so each canon_for pays ONE [P, 4] row
+    # gather instead of four 1-column gathers.  Row W (invalid pillars) is
+    # a dump row whose values are discarded by the final where; the
+    # min(wr, W-1) clamps of the column formulation are unnecessary since
+    # valid pillars always have wr < win_count <= W.
+    win_tbl = jnp.stack([
+        win_start[:W + 1],
+        jnp.maximum(win_size[:W + 1], 1),
+        K * jnp.maximum(jnp.pad(sets_per_win, (0, 1)), 1),
+        jnp.pad(set_base[:W], (0, 1)),
+    ], axis=1)                                                      # [W+1, 4]
+
     def canon_for(order):
         # one [P, 2] row scatter for (sorted position, window rank) instead
         # of two column scatters (latency-bound per op)
         inv = jnp.zeros((P, 2), jnp.int32).at[order].set(
             jnp.stack([pos, win_rank_safe], axis=1))
         inv_rank, wr = inv[:, 0], inv[:, 1]
-        r = inv_rank - win_start[wr]
-        Sw = K * jnp.maximum(sets_per_win[jnp.minimum(wr, W - 1)], 1)
-        N = jnp.maximum(win_size[wr], 1)
-        mflat = (r * Sw + N - 1) // N
-        flat = set_base[jnp.minimum(wr, W - 1)] * K + mflat
+        row = win_tbl[wr]                                           # [P, 4]
+        r = inv_rank - row[:, 0]
+        mflat = (r * row[:, 2] + row[:, 1] - 1) // row[:, 1]
+        flat = row[:, 3] * K + mflat
         return jnp.where(pillar_valid & (flat < S * K), flat, S * K)
 
     canon = jnp.stack([canon_for(order_y), canon_for(order_x)])
