@@ -30,19 +30,19 @@ def _maybe_bf16(x: jax.Array, precision: str) -> jax.Array:
     return x.astype(jnp.bfloat16) if precision == "bf16" else x
 
 
-def set_attention_qkv(q_p: jax.Array, k_p: jax.Array, v_p: jax.Array,
-                      inds: jax.Array, key_mask: jax.Array, num_heads: int,
-                      precision: str = "fp32") -> jax.Array:
-    """Masked set attention over pre-projected pillar Q/K/V.
+def set_attention_qkv(qkv_p: jax.Array, inds: jax.Array, key_mask: jax.Array,
+                      num_heads: int, precision: str = "fp32") -> jax.Array:
+    """Masked set attention over pre-projected, PACKED pillar Q/K/V.
 
     Projections run on the [P, C] pillar arrays (the gather commutes with
     row-wise linears), so the per-set work is just two batched matmuls.
-    q_p/k_p/v_p: [P, C] (no dump row — the dump sentinel P gathers
+    qkv_p: [P, 3C] = (q | k | v) packed on the channel axis, emitted by one
+    fused projection matmul (no dump row — the dump sentinel P gathers
     out-of-bounds and fills 0); inds: [S, K]; returns [S, K, C]
     pre-out-projection attention output.
     """
     S, K = inds.shape
-    C = q_p.shape[-1]
+    C = qkv_p.shape[-1] // 3
     H = num_heads
     D = C // H
     prec = dot_precision(precision)
@@ -53,12 +53,15 @@ def set_attention_qkv(q_p: jax.Array, k_p: jax.Array, v_p: jax.Array,
     gt = jnp.bfloat16 if precision in ("mixed", "bf16") else jnp.float32
 
     # ONE wide gather instead of three: TPU row-gather cost is per-row
-    # (latency-bound — a 3x wider row costs ~1.2x, measured), so fusing the
-    # q/k/v tables into a [P, 3C] table makes the set gather ~2.5x cheaper.
-    # The dump slot is an out-of-bounds FILL, not a concatenated zero row —
-    # the concat cost a full-table copy per pass (round-3 trace).
-    qkv = jnp.take(jnp.concatenate([q_p, k_p, v_p], axis=-1).astype(gt),
-                   inds, axis=0, mode="fill", fill_value=0)
+    # (latency-bound — a 3x wider row costs ~1.2x, measured), so the set
+    # gather reads the packed [P, 3C] table once.  The dump slot is an
+    # out-of-bounds FILL, not a concatenated zero row (the concat cost a
+    # full-table copy per pass).  NOTE: gathering from a pre-head-split
+    # [P, 3, H, D] table (to make the q/k/v splits free) was measured FAR
+    # worse (+8 ms/frame): D=24 lane-pads to 128, and the gather pays the
+    # 5.3x-padded row bytes — keep the compact table and pay the three
+    # slice-reshapes below instead.
+    qkv = jnp.take(qkv_p.astype(gt), inds, axis=0, mode="fill", fill_value=0)
     q = qkv[..., :C].reshape(S, K, H, D)
     k = qkv[..., C:2 * C].reshape(S, K, H, D)
     v = qkv[..., 2 * C:].reshape(S, K, H, D)

@@ -145,7 +145,8 @@ def test_duplicate_slots_produce_identical_attention_outputs(tiny_cfg, rng):
     C = cfg.d_model
     table = rng.normal(0, 1, (cfg.max_pillars, C)).astype(np.float32)
     q = jnp.asarray(table)
-    out = np.asarray(set_attention_qkv(q, q, q, sp.inds[0], sp.key_mask,
+    qkv = jnp.concatenate([q, q, q], axis=-1)
+    out = np.asarray(set_attention_qkv(qkv, sp.inds[0], sp.key_mask,
                                        cfg.num_heads, "fp32"))
     for s in range(S):
         for k in range(1, K):
