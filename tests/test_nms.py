@@ -38,7 +38,8 @@ def test_pairwise_overlap_matches_oracle(rng):
 
 
 def test_identical_boxes_full_overlap(rng):
-    boxes = _random_boxes(rng, 4)
+    # n=24 so this shares the jit cache entry with the oracle test above
+    boxes = _random_boxes(rng, 24)
     boxes[1] = boxes[0]
     boxes[1, 8] = boxes[0, 8] - 0.01
     ov = np.asarray(pairwise_rotated_overlap(jnp.asarray(boxes)))
@@ -46,8 +47,10 @@ def test_identical_boxes_full_overlap(rng):
     assert abs(ov[0, 1] - area) / area < 1e-3
 
 
-def test_disjoint_boxes_zero_overlap():
-    boxes = np.zeros((2, 9), np.float32)
+def test_disjoint_boxes_zero_overlap(rng):
+    # n=24 (padded with far-away rows) for jit cache reuse across tests
+    boxes = _random_boxes(rng, 24)
+    boxes[:, 0] = np.arange(24) * 100.0  # spread everything far apart
     boxes[0] = [0, 0, 0, 2, 2, 2, 0.3, 0, 0.9]
     boxes[1] = [10, 10, 0, 2, 2, 2, -0.3, 0, 0.8]
     ov = np.asarray(pairwise_rotated_overlap(jnp.asarray(boxes)))

@@ -10,6 +10,9 @@ from dsvt_ai_trt_tpu.parallel.spatial import spatial_sharding
 from conftest import make_cloud
 
 
+@pytest.mark.slow  # ~27 s SPMD compile on 1 CPU core; the driver's
+# dryrun_multichip asserts the same sharded-vs-single equivalence at
+# flagship dims every round, so the fast suite need not repeat it.
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_spatial_sharding_matches_single_device(tiny_cfg, rng):
     """One frame sharded over the set axis across 8 chips must reproduce the
