@@ -155,7 +155,7 @@ def backbone3d_forward(pillar_feats: jax.Array,
             attn = set_attention_qkv(
                 qkv_p,
                 constrain_rows(sp.inds[e]), constrain_rows(sp.key_mask),
-                cfg.num_heads, precision)
+                cfg.num_heads, precision, fused_kernel=use_fused)
             attn_p = _scatter_back(constrain_rows(attn), sp.canon[e])
 
             if use_fused:

@@ -31,7 +31,8 @@ def _maybe_bf16(x: jax.Array, precision: str) -> jax.Array:
 
 
 def set_attention_qkv(qkv_p: jax.Array, inds: jax.Array, key_mask: jax.Array,
-                      num_heads: int, precision: str = "fp32") -> jax.Array:
+                      num_heads: int, precision: str = "fp32",
+                      fused_kernel: bool = False) -> jax.Array:
     """Masked set attention over pre-projected, PACKED pillar Q/K/V.
 
     Projections run on the [P, C] pillar arrays (the gather commutes with
@@ -62,6 +63,16 @@ def set_attention_qkv(qkv_p: jax.Array, inds: jax.Array, key_mask: jax.Array,
     # 5.3x-padded row bytes — keep the compact table and pay the three
     # slice-reshapes below instead.
     qkv = jnp.take(qkv_p.astype(gt), inds, axis=0, mode="fill", fill_value=0)
+
+    if (fused_kernel and gt is jnp.bfloat16
+            and jax.default_backend() == "tpu"):
+        from .attention_pallas import set_attention_fused, supported
+        if supported(S, K, C, H):
+            # one Pallas kernel: q/k/v split + per-head dots + softmax all in
+            # VMEM — kills the [S,K,H,D] relayout copies (D=24 lane-pads to
+            # 128) and dpa's materialized padded probabilities
+            return set_attention_fused(qkv, key_mask, H)
+
     q = qkv[..., :C].reshape(S, K, H, D)
     k = qkv[..., C:2 * C].reshape(S, K, H, D)
     v = qkv[..., 2 * C:].reshape(S, K, H, D)

@@ -1,0 +1,77 @@
+"""Fused Pallas set-attention kernel vs the XLA dpa formulation.
+
+The kernel (ops/attention_pallas.py) must be algebraically identical to
+set_attention_qkv's bf16 fast path — same packed-qkv input contract, same
+additive key-mask semantics, same all-masked-set zero output.  Runs in
+interpret mode (CPU suite); the device path is exercised by bench and by
+tools/parity_check.py (exact-top-k box parity stays 1.0 with the kernel
+on, verified on TPU v5e).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dsvt_ai_trt_tpu.ops.attention import set_attention_qkv
+from dsvt_ai_trt_tpu.ops.attention_pallas import (set_attention_fused,
+                                                  supported, _block_sets)
+
+
+def _mk(rng, P, C, S, K):
+    qkv_p = rng.normal(0, 1, (P, 3 * C)).astype(np.float32)
+    inds = rng.integers(0, P + 1, (S, K)).astype(np.int32)  # P == dump
+    mask = np.where(inds < P, 0.0, -3.4028235e38).astype(np.float32)
+    return qkv_p, inds, mask
+
+
+def test_fused_matches_dpa_path(rng):
+    P, C, H, S, K = 500, 192, 8, 80, 36
+    qkv_p, inds, mask = _mk(rng, P, C, S, K)
+    inds[3] = P  # one fully-masked set
+    mask[3] = -3.4028235e38
+
+    ref = np.asarray(set_attention_qkv(
+        jnp.asarray(qkv_p), jnp.asarray(inds), jnp.asarray(mask), H,
+        "bf16")).astype(np.float32)
+    qkv_g = jnp.take(jnp.asarray(qkv_p).astype(jnp.bfloat16),
+                     jnp.asarray(inds), axis=0, mode="fill", fill_value=0)
+    got = np.asarray(set_attention_fused(
+        qkv_g, jnp.asarray(mask), H, interpret=True)).astype(np.float32)
+
+    # both paths run bf16 matmuls with f32 softmax; disagreement is bf16
+    # rounding noise only
+    np.testing.assert_allclose(got, ref, atol=5e-3, rtol=2e-2)
+    assert np.all(got[3] == 0.0)  # fully-masked set stays zero
+
+
+def test_fused_masked_slot_isolation(rng):
+    """Perturbing a masked slot's pillar must not leak into other outputs."""
+    P, C, H, S, K = 100, 192, 8, 8, 36
+    qkv_p, inds, mask = _mk(rng, P, C, S, K)
+    mask[0, 5] = -3.4028235e38
+    victim = inds[0, 5]
+    # make the victim pillar appear nowhere else
+    inds[(inds == victim) & (mask == 0.0)] = P
+
+    def run(q):
+        g = jnp.take(jnp.asarray(q).astype(jnp.bfloat16), jnp.asarray(inds),
+                     axis=0, mode="fill", fill_value=0)
+        return np.asarray(set_attention_fused(
+            g, jnp.asarray(mask), H, interpret=True)).astype(np.float32)
+
+    out1 = run(qkv_p)
+    qkv_p2 = qkv_p.copy()
+    qkv_p2[victim] += 5.0
+    out2 = run(qkv_p2)
+    keep = mask[0] == 0.0
+    np.testing.assert_allclose(out1[0][keep], out2[0][keep], atol=1e-6)
+
+
+def test_block_divisor_rules():
+    assert _block_sets(800) == 40        # multiple of 8, divides 800, <= 64
+    assert _block_sets(1024) == 64
+    assert _block_sets(8) == 8
+    assert _block_sets(7) == 0           # no aligned divisor -> unsupported
+    assert supported(800, 36, 192, 8)
+    assert not supported(7, 36, 192, 8)
+    assert not supported(800, 36, 100, 8)  # C not divisible by heads
