@@ -161,7 +161,10 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
     fill = jnp.zeros((P1 + 1, 8), jnp.float32).at[:, 4].set(
         jnp.float32(gx * gy))
     # NOTE: dest is NOT nondecreasing (dropped rows point at the dump slot
-    # P1 in between capped rows), so no indices_are_sorted hint here
+    # P1 in between capped rows), so no indices_are_sorted hint here.  A
+    # monotone-dest add-scatter variant (dropped rows aimed at the next slot
+    # with zero payload) measured WORSE: add is read-modify-write, 0.43 vs
+    # 0.24 ms, plus a 0.17 ms payload copy (round-3 trace).
     compacted = fill.at[dest].set(packed, mode="drop")[:P1]
     s_pts = compacted[:, :4]
     s_cell = compacted[:, 4].astype(jnp.int32)
@@ -181,21 +184,24 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
     pillar_count = jnp.minimum(jnp.sum(new_pillar.astype(jnp.int32)), P)
     pillar_ids = jnp.arange(P, dtype=jnp.int32)
     pillar_valid = pillar_ids < pillar_count
-    coords_flat = jnp.zeros((P + 1,), jnp.int32).at[pillar_of_point].max(
-        jnp.where(new_pillar, s_cell, 0), mode="drop",
-        indices_are_sorted=True)[:P]
+
+    # per-pillar counts, cluster means AND the registry cell id in ONE
+    # [ones | xyz | cell] scatter-add over the capped membership.  The cell
+    # column rides as an add because exactly one row per pillar (its
+    # new_pillar head) contributes a nonzero value — the separate .max
+    # scatter it replaces cost ~0.26 ms/frame (round-3 trace, fusion.58).
+    contrib = jnp.concatenate(
+        [jnp.ones((P1, 1), jnp.float32), s_pts[:, :3],
+         jnp.where(new_pillar, s_cell, 0).astype(jnp.float32)[:, None]],
+        axis=1)
+    contrib = jnp.where(kept[:, None], contrib, 0.0)
+    acc = jnp.zeros((P + 1, 5), jnp.float32).at[point_pillar].add(
+        contrib, mode="drop", indices_are_sorted=True)
+    counts = acc[:, 0]
+    means = acc[:, 1:4] / jnp.maximum(counts[:, None], 1.0)
+    coords_flat = acc[:P, 4].astype(jnp.int32)  # cells < 2^24: exact in f32
     coords = jnp.stack([coords_flat // gx, coords_flat % gx], axis=-1)  # (iy, ix)
     coords = jnp.where(pillar_valid[:, None], coords, 0)
-
-    # per-pillar counts and cluster means over the capped membership — one
-    # fused [ones | xyz] scatter-add instead of two
-    ones_xyz = jnp.where(kept[:, None],
-                         jnp.concatenate([jnp.ones((P1, 1), jnp.float32),
-                                          s_pts[:, :3]], axis=1), 0.0)
-    acc = jnp.zeros((P + 1, 4), jnp.float32).at[point_pillar].add(
-        ones_xyz, mode="drop", indices_are_sorted=True)
-    counts = acc[:, 0]
-    means = acc[:, 1:] / jnp.maximum(counts[:, None], 1.0)
 
     # 10-dim features (points2Features.cu:838-861):
     # [x, y, z, intensity, d_cluster(3), d_center(3)] — the cell index is
