@@ -45,8 +45,54 @@ def _conv(x, w, b, stride=1, precision="fp32"):
     return (y + b.astype(dt)).astype(dt)
 
 
+def _rowconv3(x: jax.Array, w: jax.Array, b: jax.Array,
+              precision: str) -> jax.Array:
+    """3x3 stride-1 SAME conv as three dy-shifted 1D convs with H as the
+    conv BATCH dim.  x: [H, W, Ci]; w: [3, 3, Ci, Co] -> [H, W, Co].
+
+    Why not one lax 2D conv (_conv): with N=1, XLA's layout assignment lets
+    decode's transpose/top-k consumers demote the whole head chain to a
+    T(2,128) linear layout whose second-minor dim is the size-1 batch —
+    traced at 5.4 ms for the 97-GFLOP shared conv vs 1.0 ms undemoted
+    (round-3 trace).  With H as a real batch dim the pathological layout
+    cannot be chosen at all: measured 2.0 ms for the full head chain +
+    decode consumers vs 9.5.
+
+    Used by the CenterHead only.  The SAME formulation for the backbone2d
+    residual units was built and measured — and rejected: the 3x-inflated
+    conv output plus the dy-shift pad/add epilogue on the big 468^2 stage-0
+    maps cost ~2.2 ms MORE than the ~1.4 ms of entry/exit layout copies it
+    removed (bev_backbone2d 8.0 vs 5.8 ms traced), so the backbone keeps
+    the 2D conv form where XLA's conv layouts are near speed-of-light
+    (97% MFU on the stage convs).
+
+    Exact algebra: y[h,w,o] = sum_dy sum_dx x[h+dy-1, w+dx-1, i] *
+    w[dy,dx,i,o], decomposed over dy; H zero-padding via jnp.pad, W via the
+    1D conv's own SAME padding — identical to _conv's symmetric k//2
+    padding semantics (torch Conv2d padding=1, cpp:182-245).
+    """
+    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    Co = w.shape[-1]
+    # ONE conv with the three dy-taps concatenated on the output-channel
+    # axis: reads x once (the padded-slice variant read it three times,
+    # 1.0 ms on the 384-ch input) and fills all 3*Co MXU lanes; the dy
+    # shifts then move to the 3x-smaller conv output as a fused
+    # pad+slice+add epilogue.
+    wcat = jnp.concatenate([w[0], w[1], w[2]], axis=-1).astype(dt)  # [3,Ci,3Co]
+    c = jax.lax.conv_general_dilated(
+        x.astype(dt), wcat, window_strides=(1,), padding=((1, 1),),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=dt, precision=dot_precision(precision))
+    # y[h] = c_dy0[h-1] + c_dy1[h] + c_dy2[h+1]  (zero rows off the map)
+    out = (c[:, :, Co:2 * Co]
+           + jnp.pad(c[:-1, :, :Co], ((1, 0), (0, 0), (0, 0)))
+           + jnp.pad(c[1:, :, 2 * Co:], ((0, 1), (0, 0), (0, 0))))
+    return out + b.astype(dt)
+
+
 def _res_unit(x, unit, stride, precision):
-    h = jnp.maximum(_conv(x, unit["conv1_w"], unit["conv1_b"], stride, precision), 0.0)
+    h = jnp.maximum(_conv(x, unit["conv1_w"], unit["conv1_b"], stride,
+                          precision), 0.0)
     h = _conv(h, unit["conv2_w"], unit["conv2_b"], 1, precision)
     if "down_w" in unit:
         shortcut = _conv(x, unit["down_w"], unit["down_b"], stride, precision)
@@ -75,9 +121,14 @@ def _upsample(x, w, b, k, precision):
     return jnp.maximum(y, 0.0).astype(dt)
 
 
-def backbone2d_forward(bev: jax.Array, params: dict,
-                       precision: str = "fp32") -> jax.Array:
-    """bev: [H, W, 192] -> [H, W, 384]."""
+def backbone2d_laterals(bev: jax.Array, params: dict,
+                        precision: str = "fp32") -> tuple:
+    """bev: [H, W, 192] -> three [H, W, 128] lateral maps (pre-concat).
+
+    Keeping the laterals separate lets the CenterHead split its shared conv
+    across them (conv(concat(a,b,c), W) == sum_i conv(l_i, W_i)), which
+    avoids materializing the 468x468x384 concat (0.44 ms traced).
+    """
     x = constrain_bev(bev)
     laterals = []
     for s, (units, _ch, stride) in enumerate(BACKBONE2D_STAGES):
@@ -88,4 +139,11 @@ def backbone2d_forward(bev: jax.Array, params: dict,
         k, _s = BACKBONE2D_DEBLOCK[s]
         d = params["deblocks"][s]
         laterals.append(constrain_bev(_upsample(x, d["w"], d["b"], k, precision)))
-    return constrain_bev(jnp.concatenate(laterals, axis=-1))
+    return tuple(laterals)
+
+
+def backbone2d_forward(bev: jax.Array, params: dict,
+                       precision: str = "fp32") -> jax.Array:
+    """bev: [H, W, 192] -> [H, W, 384]."""
+    return constrain_bev(jnp.concatenate(
+        backbone2d_laterals(bev, params, precision), axis=-1))

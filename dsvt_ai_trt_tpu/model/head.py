@@ -25,14 +25,18 @@ import jax
 import jax.numpy as jnp
 
 from ..config import DSVTConfig, head_branches
-from ..ops.common import dot_precision
 from ..parallel.spatial import constrain_bev
-from .backbone2d import _conv
+from .backbone2d import _conv, _rowconv3
 
 
-def head_forward(features: jax.Array, params: dict, precision: str = "fp32",
+def head_forward(features, params: dict, precision: str = "fp32",
                  cfg: DSVTConfig = None, lazy: bool = False) -> Dict[str, jax.Array]:
-    """features: [H, W, 384] -> dict of [H, W, c] maps.
+    """features: [H, W, 384] (or the pre-concat lateral tuple from
+    backbone2d_laterals) -> dict of [H, W, c] maps.
+
+    When given the lateral tuple, the shared conv is split across the
+    laterals (conv(concat(l0,l1,l2), W) == sum_i conv(l_i, W_i) exactly),
+    so the 468x468x384 concat is never materialized (0.44 ms traced).
 
     lazy=True computes full maps only for the heatmap (the top-k source);
     it returns {"hm", "shared"} and the regression branches are evaluated
@@ -42,19 +46,30 @@ def head_forward(features: jax.Array, params: dict, precision: str = "fp32",
     128-lane MXU width; only top_k=500 of the 219K cells are ever read.
     """
     branches = head_branches(cfg) if cfg is not None else _infer_branches(params)
+    parts = features if isinstance(features, tuple) else (features,)
 
-    # unsharded runs use the row-batched conv formulation (see _rowconv3);
-    # under spatial sharding GSPMD owns the halo exchanges of the 2D form
+    # unsharded runs use the row-batched conv formulation (see
+    # backbone2d._rowconv3); under spatial sharding GSPMD owns the halo
+    # exchanges of the 2D form
     from ..parallel.spatial import constrain_bev as _cb
-    row_form = _cb(features) is features
+    row_form = _cb(parts[0]) is parts[0]
+    if not row_form and isinstance(features, tuple):
+        parts = (constrain_bev(jnp.concatenate(features, axis=-1)),)
 
     def conv_relu(x, w, b, relu):
         y = (_rowconv3(x, w, b, precision) if row_form
              else _conv(x, w, b, 1, precision))
         return jnp.maximum(y, 0.0) if relu else y
 
-    shared = constrain_bev(conv_relu(features, params["shared_w"],
-                                     params["shared_b"], True))
+    sw, sb = params["shared_w"], params["shared_b"]
+    ci = 0
+    shared = None
+    for part in parts:
+        c = part.shape[-1]
+        y = conv_relu(part, sw[:, :, ci:ci + c], jnp.zeros_like(sb), False)
+        shared = y if shared is None else shared + y
+        ci += c
+    shared = constrain_bev(jnp.maximum(shared + sb.astype(shared.dtype), 0.0))
 
     if lazy:
         hm_hidden = conv_relu(shared, params["hm"]["w0"], params["hm"]["b0"],
@@ -79,48 +94,6 @@ def head_forward(features: jax.Array, params: dict, precision: str = "fp32",
         out[name] = _conv(h, params[name]["w1"], params[name]["b1"], 1,
                           precision)
     return out
-
-
-def _rowconv3(x: jax.Array, w: jax.Array, b: jax.Array,
-              precision: str) -> jax.Array:
-    """3x3 stride-1 SAME conv as three dy-shifted 1D convs with H as the
-    conv BATCH dim.  x: [H, W, Ci]; w: [3, 3, Ci, Co] -> [H, W, Co].
-
-    Why not one lax 2D conv (_conv): with N=1, XLA's layout assignment lets
-    decode's transpose/top-k consumers demote the whole head chain to a
-    T(2,128) linear layout whose second-minor dim is the size-1 batch —
-    traced at 5.4 ms for the 97-GFLOP shared conv vs 1.0 ms undemoted
-    (round-3 trace).  Every steering attempt failed: a Pallas identity
-    "layout firewall" (custom-call operand layouts back-propagate, +5 ms),
-    a 1x1 identity conv anchor (worked standalone, ignored in the full
-    program), channel padding to 128, and NCHW (canonicalized back).  With
-    H as a real batch dim the pathological layout cannot be chosen at all:
-    measured 2.0 ms for the full head chain + decode consumers vs 9.5.
-    Cost: the input is read three times (+0.5 ms of HBM traffic on the
-    384-ch input) — a 4.7x win regardless.
-
-    Exact algebra: y[h,w,o] = sum_dy sum_dx x[h+dy-1, w+dx-1, i] *
-    w[dy,dx,i,o], decomposed over dy; H zero-padding via jnp.pad, W via the
-    1D conv's own SAME padding — identical to _conv's symmetric k//2
-    padding semantics (torch Conv2d padding=1, cpp:182-245).
-    """
-    dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    Co = w.shape[-1]
-    # ONE conv with the three dy-taps concatenated on the output-channel
-    # axis: reads x once (the padded-slice variant read it three times,
-    # 1.0 ms on the 384-ch input) and fills all 3*Co MXU lanes; the dy
-    # shifts then move to the 3x-smaller conv output as a fused
-    # pad+slice+add epilogue.
-    wcat = jnp.concatenate([w[0], w[1], w[2]], axis=-1).astype(dt)  # [3,Ci,3Co]
-    c = jax.lax.conv_general_dilated(
-        x.astype(dt), wcat, window_strides=(1,), padding=((1, 1),),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=dt, precision=dot_precision(precision))
-    # y[h] = c_dy0[h-1] + c_dy1[h] + c_dy2[h+1]  (zero rows off the map)
-    out = (c[:, :, Co:2 * Co]
-           + jnp.pad(c[:-1, :, :Co], ((1, 0), (0, 0), (0, 0)))
-           + jnp.pad(c[1:, :, 2 * Co:], ((0, 1), (0, 0), (0, 0))))
-    return out + b.astype(dt)
 
 
 def _infer_branches(params: dict):

@@ -98,11 +98,10 @@ def test_batch_forward_matches_single(tiny_cfg, rng):
 
 
 def test_rowconv3_matches_2d_conv(rng):
-    """The row-batched head conv (model/head.py:_rowconv3) must equal the
-    N=1 2D conv formulation exactly (same algebra, different layout)."""
+    """The row-batched head conv (model/backbone2d.py:_rowconv3) must equal
+    the N=1 2D conv formulation exactly (same algebra, different layout)."""
     import jax.numpy as jnp
-    from dsvt_ai_trt_tpu.model.head import _rowconv3
-    from dsvt_ai_trt_tpu.model.backbone2d import _conv
+    from dsvt_ai_trt_tpu.model.backbone2d import _rowconv3, _conv
 
     x = jnp.asarray(rng.normal(0, 1, (17, 23, 12)).astype(np.float32))
     w = jnp.asarray(rng.normal(0, 0.3, (3, 3, 12, 5)).astype(np.float32))
@@ -110,3 +109,23 @@ def test_rowconv3_matches_2d_conv(rng):
     got = np.asarray(_rowconv3(x, w, b, "fp32"))
     want = np.asarray(_conv(x, w, b, 1, "fp32"))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_head_split_shared_conv_matches_concat(rng):
+    """head_forward given the lateral tuple (split shared conv) must match
+    head_forward on the concatenated [H, W, 384] map."""
+    import jax.numpy as jnp
+    from dsvt_ai_trt_tpu.model.head import head_forward
+    from dsvt_ai_trt_tpu.config import DEFAULT_CONFIG
+    from dsvt_ai_trt_tpu import weights
+    import dataclasses
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, grid_size=(20, 20, 1))
+    params = weights.random_params(cfg, seed=7)["head"]
+    lats = tuple(jnp.asarray(rng.normal(0, 1, (20, 20, 128)).astype(np.float32))
+                 for _ in range(3))
+    a = head_forward(lats, params, "fp32", lazy=True)
+    b = head_forward(jnp.concatenate(lats, axis=-1), params, "fp32", lazy=True)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                    atol=5e-4, rtol=1e-4)

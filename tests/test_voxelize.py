@@ -140,3 +140,27 @@ def test_edge_binning_census_vs_reference_floor():
     print(f"binning census: {diverged}/{total} coords diverge "
           f"(all sub-ulp boundary class)")
     assert diverged < total * 1e-3
+
+
+def test_map_to_bev_matches_dense_reference(rng):
+    """The flat sorted/unique-hinted scatter (ops/bev.py) must equal the
+    dense loop semantics of Map2Bev_kernel (plugins/src/map2bev.cu:250-266):
+    valid pillar rows land at their (iy, ix) cell, everything else zero."""
+    import jax.numpy as jnp
+    from dsvt_ai_trt_tpu.ops.bev import map_to_bev
+
+    H, W, C, P = 9, 11, 6, 20
+    nv = 13
+    cells = np.sort(rng.choice(H * W, nv, replace=False)).astype(np.int32)
+    coords = np.zeros((P, 2), np.int32)
+    coords[:nv, 0] = cells // W
+    coords[:nv, 1] = cells % W
+    valid = np.arange(P) < nv
+    feats = rng.normal(0, 1, (P, C)).astype(np.float32)
+
+    got = np.asarray(map_to_bev(jnp.asarray(feats), jnp.asarray(coords),
+                                jnp.asarray(valid), (H, W)))
+    want = np.zeros((H, W, C), np.float32)
+    for i in range(nv):
+        want[coords[i, 0], coords[i, 1]] = feats[i]
+    np.testing.assert_array_equal(got, want)
