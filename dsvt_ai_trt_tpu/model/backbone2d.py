@@ -121,14 +121,9 @@ def _upsample(x, w, b, k, precision):
     return jnp.maximum(y, 0.0).astype(dt)
 
 
-def backbone2d_laterals(bev: jax.Array, params: dict,
-                        precision: str = "fp32") -> tuple:
-    """bev: [H, W, 192] -> three [H, W, 128] lateral maps (pre-concat).
-
-    Keeping the laterals separate lets the CenterHead split its shared conv
-    across them (conv(concat(a,b,c), W) == sum_i conv(l_i, W_i)), which
-    avoids materializing the 468x468x384 concat (0.44 ms traced).
-    """
+def backbone2d_forward(bev: jax.Array, params: dict,
+                       precision: str = "fp32") -> jax.Array:
+    """bev: [H, W, 192] -> [H, W, 384]."""
     x = constrain_bev(bev)
     laterals = []
     for s, (units, _ch, stride) in enumerate(BACKBONE2D_STAGES):
@@ -139,11 +134,4 @@ def backbone2d_laterals(bev: jax.Array, params: dict,
         k, _s = BACKBONE2D_DEBLOCK[s]
         d = params["deblocks"][s]
         laterals.append(constrain_bev(_upsample(x, d["w"], d["b"], k, precision)))
-    return tuple(laterals)
-
-
-def backbone2d_forward(bev: jax.Array, params: dict,
-                       precision: str = "fp32") -> jax.Array:
-    """bev: [H, W, 192] -> [H, W, 384]."""
-    return constrain_bev(jnp.concatenate(
-        backbone2d_laterals(bev, params, precision), axis=-1))
+    return constrain_bev(jnp.concatenate(laterals, axis=-1))

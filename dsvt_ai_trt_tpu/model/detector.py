@@ -25,7 +25,7 @@ from ..ops import nms as nms_ops
 from ..parallel.spatial import constrain_bev
 from .vfe import vfe_forward
 from .backbone3d import backbone3d_forward
-from .backbone2d import backbone2d_forward, backbone2d_laterals
+from .backbone2d import backbone2d_forward
 from .head import head_forward
 
 
@@ -52,12 +52,10 @@ def forward(params: Dict, points: jax.Array, num_points: jax.Array,
     # partitioned with GSPMD-inserted halo exchanges (parallel/spatial.py)
     bev = constrain_bev(map_to_bev(feats, pillars.coords, pillars.pillar_valid,
                                    (cfg.grid_size[1], cfg.grid_size[0])))
-    # laterals stay un-concatenated: the head splits its shared conv across
-    # them, so the [H, W, 384] concat is never materialized (head_forward)
-    laterals = backbone2d_laterals(bev, params["backbone2d"], precision)
+    bev = backbone2d_forward(bev, params["backbone2d"], precision)
     # lazy head: full-map convs only for the heatmap; regression branches
     # evaluate at the top-k cells inside decode (model/head.py docstring)
-    head_out = head_forward(laterals, params["head"], precision, lazy=True)
+    head_out = head_forward(bev, params["head"], precision, lazy=True)
     dets = decode_and_filter(head_out, cfg, head_params=params["head"])
     if with_nms:
         boxes, count = nms_ops.nms(

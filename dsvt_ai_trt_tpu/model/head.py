@@ -29,14 +29,9 @@ from ..parallel.spatial import constrain_bev
 from .backbone2d import _conv, _rowconv3
 
 
-def head_forward(features, params: dict, precision: str = "fp32",
+def head_forward(features: jax.Array, params: dict, precision: str = "fp32",
                  cfg: DSVTConfig = None, lazy: bool = False) -> Dict[str, jax.Array]:
-    """features: [H, W, 384] (or the pre-concat lateral tuple from
-    backbone2d_laterals) -> dict of [H, W, c] maps.
-
-    When given the lateral tuple, the shared conv is split across the
-    laterals (conv(concat(l0,l1,l2), W) == sum_i conv(l_i, W_i) exactly),
-    so the 468x468x384 concat is never materialized (0.44 ms traced).
+    """features: [H, W, 384] -> dict of [H, W, c] maps.
 
     lazy=True computes full maps only for the heatmap (the top-k source);
     it returns {"hm", "shared"} and the regression branches are evaluated
@@ -44,32 +39,28 @@ def head_forward(features, params: dict, precision: str = "fp32",
     decode_lazy_branches).  Full-map regression convs cost ~10 ms/frame on
     the 468^2 grid because every small-c conv pads its output to the
     128-lane MXU width; only top_k=500 of the 219K cells are ever read.
+
+    A split-shared-conv variant (head consumes the pre-concat lateral tuple,
+    conv(concat(l), W) == sum_i conv(l_i, W_i)) was built and traced: it
+    saves the 0.44 ms [468, 468, 384] concat but the three 128-deep
+    contractions + their epilogues cost +0.55 ms in the head — full-program
+    device time 17.7 vs 17.3 ms — so the concat form stays.
     """
     branches = head_branches(cfg) if cfg is not None else _infer_branches(params)
-    parts = features if isinstance(features, tuple) else (features,)
 
     # unsharded runs use the row-batched conv formulation (see
     # backbone2d._rowconv3); under spatial sharding GSPMD owns the halo
     # exchanges of the 2D form
     from ..parallel.spatial import constrain_bev as _cb
-    row_form = _cb(parts[0]) is parts[0]
-    if not row_form and isinstance(features, tuple):
-        parts = (constrain_bev(jnp.concatenate(features, axis=-1)),)
+    row_form = _cb(features) is features
 
     def conv_relu(x, w, b, relu):
         y = (_rowconv3(x, w, b, precision) if row_form
              else _conv(x, w, b, 1, precision))
         return jnp.maximum(y, 0.0) if relu else y
 
-    sw, sb = params["shared_w"], params["shared_b"]
-    ci = 0
-    shared = None
-    for part in parts:
-        c = part.shape[-1]
-        y = conv_relu(part, sw[:, :, ci:ci + c], jnp.zeros_like(sb), False)
-        shared = y if shared is None else shared + y
-        ci += c
-    shared = constrain_bev(jnp.maximum(shared + sb.astype(shared.dtype), 0.0))
+    shared = constrain_bev(conv_relu(features, params["shared_w"],
+                                     params["shared_b"], True))
 
     if lazy:
         hm_hidden = conv_relu(shared, params["hm"]["w0"], params["hm"]["b0"],

@@ -111,21 +111,3 @@ def test_rowconv3_matches_2d_conv(rng):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
 
 
-def test_head_split_shared_conv_matches_concat(rng):
-    """head_forward given the lateral tuple (split shared conv) must match
-    head_forward on the concatenated [H, W, 384] map."""
-    import jax.numpy as jnp
-    from dsvt_ai_trt_tpu.model.head import head_forward
-    from dsvt_ai_trt_tpu.config import DEFAULT_CONFIG
-    from dsvt_ai_trt_tpu import weights
-    import dataclasses
-
-    cfg = dataclasses.replace(DEFAULT_CONFIG, grid_size=(20, 20, 1))
-    params = weights.random_params(cfg, seed=7)["head"]
-    lats = tuple(jnp.asarray(rng.normal(0, 1, (20, 20, 128)).astype(np.float32))
-                 for _ in range(3))
-    a = head_forward(lats, params, "fp32", lazy=True)
-    b = head_forward(jnp.concatenate(lats, axis=-1), params, "fp32", lazy=True)
-    for k in a:
-        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
-                                    atol=5e-4, rtol=1e-4)
