@@ -76,19 +76,21 @@ def _with_dump_row(x: jax.Array) -> jax.Array:
 
 
 def _scatter_back(attn_out: jax.Array, canon: jax.Array) -> jax.Array:
-    """Gather each pillar's canonical set-slot output.  attn_out: [S, K, C];
-    canon: [P] flat slot (S*K = dump -> fill 0).  Returns [P, C].
+    """Gather each pillar's canonical set-slot output.  attn_out: [S*K, C]
+    flat (row = canonical slot) or [S, K, C]; canon: [P] flat slot
+    (S*K = dump -> fill 0).  Returns [P, C].
 
-    mode="fill" turns the dump slot into an out-of-bounds fill instead of a
-    concatenated zero row: the concat materialized a full [S*K, C] copy
-    (~0.08 ms x16 passes in the round-3 trace); the fill is a fused select.
+    The fast path hands a FLAT [S*K, C] kernel output straight to a 1-D row
+    gather — canon already IS the flat slot index.  The [S, K, C] form
+    (XLA fallback paths) uses a 2D (set, slot) gather instead: flattening
+    it would force a relayout copy (K = 36 sublane-pads to 40, 1.2 ms/frame
+    across the 16 passes in the round-3 trace).  mode="fill" turns the dump
+    sentinel into an out-of-bounds fill instead of a concatenated zero row
+    (the concat materialized a full-table copy per pass).
     """
+    if attn_out.ndim == 2:
+        return attn_out.at[canon].get(mode="fill", fill_value=0)
     S, K, C = attn_out.shape
-    # 2D (set, slot) gather straight from the [S, K, C] attention output:
-    # flattening to [S*K, C] first forced a full-tensor relayout copy (the
-    # K=36 sublane dim pads to 40, so the reshape is not a bitcast —
-    # 1.2 ms/frame across the 16 passes in the round-3 trace).  The dump
-    # sentinel canon == S*K maps to set index S, out of bounds -> fill 0.
     return attn_out.at[canon // K, canon % K].get(mode="fill", fill_value=0)
 
 
@@ -155,7 +157,8 @@ def backbone3d_forward(pillar_feats: jax.Array,
             attn = set_attention_qkv(
                 qkv_p,
                 constrain_rows(sp.inds[e]), constrain_rows(sp.key_mask),
-                cfg.num_heads, precision, fused_kernel=use_fused)
+                cfg.num_heads, precision, fused_kernel=use_fused,
+                flat_out=use_fused)
             attn_p = _scatter_back(constrain_rows(attn), sp.canon[e])
 
             if use_fused:

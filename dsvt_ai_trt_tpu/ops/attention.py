@@ -32,7 +32,8 @@ def _maybe_bf16(x: jax.Array, precision: str) -> jax.Array:
 
 def set_attention_qkv(qkv_p: jax.Array, inds: jax.Array, key_mask: jax.Array,
                       num_heads: int, precision: str = "fp32",
-                      fused_kernel: bool = False) -> jax.Array:
+                      fused_kernel: bool = False,
+                      flat_out: bool = False) -> jax.Array:
     """Masked set attention over pre-projected, PACKED pillar Q/K/V.
 
     Projections run on the [P, C] pillar arrays (the gather commutes with
@@ -40,7 +41,11 @@ def set_attention_qkv(qkv_p: jax.Array, inds: jax.Array, key_mask: jax.Array,
     qkv_p: [P, 3C] = (q | k | v) packed on the channel axis, emitted by one
     fused projection matmul (no dump row — the dump sentinel P gathers
     out-of-bounds and fills 0); inds: [S, K]; returns [S, K, C]
-    pre-out-projection attention output.
+    pre-out-projection attention output — or [S*K, C] (row = canonical
+    flat slot) when flat_out=True, which keeps the whole fast path free of
+    [S, K, C] tensors (K = 36 tiles to 40 sublanes, so every gather-> and
+    ->scatter-back boundary of the 3D layout was a relayout copy,
+    ~0.5 ms/frame in the round-3 trace).
     """
     S, K = inds.shape
     C = qkv_p.shape[-1] // 3
@@ -53,6 +58,18 @@ def set_attention_qkv(qkv_p: jax.Array, inds: jax.Array, key_mask: jax.Array,
     # DSVT stage's HBM traffic, and matmul inputs are bf16 on the MXU anyway
     gt = jnp.bfloat16 if precision in ("mixed", "bf16") else jnp.float32
 
+    if (fused_kernel and gt is jnp.bfloat16
+            and jax.default_backend() == "tpu"):
+        from .attention_pallas import set_attention_fused_flat, supported
+        if supported(S, K, C, H):
+            # FLAT wide gather + one Pallas kernel (q/k/v split + merged-
+            # head dots + softmax all in VMEM); the [S*K, 3C] table never
+            # takes the padded 3D layout
+            qkv_flat = jnp.take(qkv_p.astype(gt), inds.reshape(-1), axis=0,
+                                mode="fill", fill_value=0)
+            out = set_attention_fused_flat(qkv_flat, key_mask, H)
+            return out if flat_out else out.reshape(S, K, C)
+
     # ONE wide gather instead of three: TPU row-gather cost is per-row
     # (latency-bound — a 3x wider row costs ~1.2x, measured), so the set
     # gather reads the packed [P, 3C] table once.  The dump slot is an
@@ -63,15 +80,6 @@ def set_attention_qkv(qkv_p: jax.Array, inds: jax.Array, key_mask: jax.Array,
     # 5.3x-padded row bytes — keep the compact table and pay the three
     # slice-reshapes below instead.
     qkv = jnp.take(qkv_p.astype(gt), inds, axis=0, mode="fill", fill_value=0)
-
-    if (fused_kernel and gt is jnp.bfloat16
-            and jax.default_backend() == "tpu"):
-        from .attention_pallas import set_attention_fused, supported
-        if supported(S, K, C, H):
-            # one Pallas kernel: q/k/v split + per-head dots + softmax all in
-            # VMEM — kills the [S,K,H,D] relayout copies (D=24 lane-pads to
-            # 128) and dpa's materialized padded probabilities
-            return set_attention_fused(qkv, key_mask, H)
 
     q = qkv[..., :C].reshape(S, K, H, D)
     k = qkv[..., C:2 * C].reshape(S, K, H, D)
@@ -88,7 +96,7 @@ def set_attention_qkv(qkv_p: jax.Array, inds: jax.Array, key_mask: jax.Array,
         # gather+attention fusion and force materialized copies.)
         out = jax.nn.dot_product_attention(
             q, k, v, bias=key_mask[:, None, None, :])
-        return out.reshape(S, K, C)
+        return out.reshape(S * K, C) if flat_out else out.reshape(S, K, C)
 
     # strict fp32 parity path: logits as [Kq, Kk, H, S] so the minor dims
     # are (H, S) — the natural [S, H, Kq, Kk] layout tile-pads the trailing
@@ -100,7 +108,8 @@ def set_attention_qkv(qkv_p: jax.Array, inds: jax.Array, key_mask: jax.Array,
     attn = jax.nn.softmax(logits, axis=1)
     out = jnp.einsum("qkhs,skhd->qshd", attn.astype(gt), v,
                      preferred_element_type=jnp.float32, precision=prec)
-    out = jnp.transpose(out, (1, 0, 2, 3)).reshape(S, K, C)
+    out = jnp.transpose(out, (1, 0, 2, 3))
+    out = out.reshape(S * K, C) if flat_out else out.reshape(S, K, C)
     return out.astype(gt)
 
 

