@@ -145,10 +145,14 @@ def main():
 
     stream_ms = stream_ms_per_frame(engine, frames, iters)
 
-    # batched streaming (BASELINE config 5): all frames in one dispatch via
-    # vmap — amortizes per-call dispatch and fills the MXU with batch work
+    # batched streaming (BASELINE config 5): all frames in ONE dispatch via
+    # lax.scan — amortizes per-call dispatch.  NOT vmap: vmapped batching
+    # lowers every sparse gather/scatter to a batched variant costing 2-5x
+    # (round-2 trace: dsvt_blocks 19.4 vs 7.4 ms/frame) and measured 34.8
+    # vs 18.2 ms/frame; the scan form runs each frame's program unchanged
+    # (vmap remains the multi-chip DP form, parallel/mesh.py).
     import jax.numpy as jnp
-    from dsvt_ai_trt_tpu.model.detector import forward_batch
+    from dsvt_ai_trt_tpu.model.detector import forward_scan
 
     bsz = int(os.environ.get("DSVT_BENCH_BATCH", "10"))
     reps = -(-bsz // len(frames))
@@ -156,7 +160,7 @@ def main():
     batch_pts = jnp.stack([p for p, _ in pool])
     batch_n = jnp.stack([jnp.asarray(n) for _, n in pool])
     params_d = jax.device_put(params)
-    run_b = jax.jit(lambda bp, bn: forward_batch(params_d, bp, bn, cfg, True))
+    run_b = jax.jit(lambda bp, bn: forward_scan(params_d, bp, bn, cfg, True))
     dets = run_b(batch_pts, batch_n)
     jax.device_get((dets.boxes, dets.count))
     t0 = time.perf_counter()

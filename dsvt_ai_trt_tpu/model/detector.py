@@ -79,9 +79,30 @@ def forward_jit(params, points, num_points, cfg: DSVTConfig,
 
 def forward_batch(params, points: jax.Array, num_points: jax.Array,
                   cfg: DSVTConfig, with_nms: bool = False) -> Detections:
-    """Data-parallel batched forward: points [B, N, 4], num_points [B]."""
+    """Data-parallel batched forward: points [B, N, 4], num_points [B].
+
+    vmap exists for MULTI-CHIP data parallelism (parallel/mesh.py), where
+    each chip's slice is batch 1.  For single-chip throughput batching use
+    forward_scan — vmap lowers every sparse gather/scatter/sort to a
+    batched variant costing 2-5x (round-2 trace: dsvt_blocks 19.4 vs
+    7.4 ms/frame, BEV scatter 5.3 vs 1.1), while the dense convs gain
+    nothing because one frame already fills the chip.
+    """
     return jax.vmap(lambda p, n: forward(params, p, n, cfg, with_nms))(
         points, num_points)
+
+
+def forward_scan(params, points: jax.Array, num_points: jax.Array,
+                 cfg: DSVTConfig, with_nms: bool = False) -> Detections:
+    """Single-chip throughput batching: ONE dispatch, frames processed
+    sequentially by lax.scan — amortizes per-call dispatch (the point of
+    batching on a tunneled runtime) without vmap's batched-sparse-op tax.
+    points: [B, N, 4], num_points: [B]; returns stacked Detections."""
+    def step(carry, pn):
+        p, n = pn
+        return carry, forward(params, p, n, cfg, with_nms)
+    _, dets = jax.lax.scan(step, 0, (points, num_points))
+    return dets
 
 
 class IntermediateOutputs(NamedTuple):

@@ -97,6 +97,27 @@ def test_batch_forward_matches_single(tiny_cfg, rng):
                                    np.asarray(ref.boxes), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
+def test_scan_forward_matches_single(tiny_cfg, rng):
+    """The single-chip throughput batch (lax.scan over frames) must equal
+    the per-frame forward — the scan runs each frame's program unchanged,
+    unlike vmap, modulo rounding from XLA scheduling the scan body
+    differently than the standalone program."""
+    from dsvt_ai_trt_tpu.model.detector import forward_scan
+    import jax
+    cfg = tiny_cfg
+    params = weights.random_params(cfg, seed=3)
+    pts0, n0 = make_cloud(rng, cfg, 500)
+    pts1, n1 = make_cloud(rng, cfg, 700)
+    batch = jax.jit(lambda p, n: forward_scan(params, p, n, cfg, True))(
+        np.stack([pts0, pts1]), np.array([n0, n1], np.int32))
+    for i, (p, n) in enumerate(((pts0, n0), (pts1, n1))):
+        ref = forward_jit(params, p, n, cfg, True)
+        assert int(batch.count[i]) == int(ref.count)
+        np.testing.assert_allclose(np.asarray(batch.boxes[i]),
+                                   np.asarray(ref.boxes), atol=1e-4, rtol=1e-4)
+
+
 def test_rowconv3_matches_2d_conv(rng):
     """The row-batched head conv (model/backbone2d.py:_rowconv3) must equal
     the N=1 2D conv formulation exactly (same algebra, different layout)."""
