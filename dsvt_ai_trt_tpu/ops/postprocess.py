@@ -56,23 +56,30 @@ def decode_lazy_branches(shared: jax.Array, inds: jax.Array, head_params: Dict,
     ys = inds // W
     xs = inds % W
 
-    # gather the 5x5 patches straight from the UNPADDED map with per-offset
-    # bounds masking: jnp.pad materialized a [H+4, W+4, C] copy plus two
-    # relayout copies (~1.5 ms in the round-3 trace) just to make border
-    # reads zero; a where() on the gathered [K, 25, C] is free
+    # gather the 5x5 patches straight from the map as a 2D (row, col)
+    # gather with OOB fill — border reads outside [0,H)x[0,W) become the
+    # zero padding the full-map conv would see, with no bounds arithmetic.
+    # (jnp.pad materialized a [H+4, W+4, C] copy, ~1.5 ms; a flat gather
+    # from shared.reshape(-1, C) paid a 0.18 ms relayout of the whole map
+    # because the 64-lane minor dim re-tiles — round-3 traces.)
     oy = jnp.asarray([dy - 2 for dy in range(5) for _ in range(5)], jnp.int32)
     ox = jnp.asarray([dx - 2 for _ in range(5) for dx in range(5)], jnp.int32)
     py = ys[:, None] + oy[None, :]                           # [K, 25]
     px = xs[:, None] + ox[None, :]
-    in_bounds = (py >= 0) & (py < H) & (px >= 0) & (px < W)
-    idx = jnp.where(in_bounds, py * W + px, 0)
-    patch = jnp.take(shared.reshape(-1, C), idx.reshape(-1), axis=0)
-    patch = jnp.where(in_bounds.reshape(-1)[:, None], patch, 0)
-    patch = patch.reshape(K, 5, 5, C).astype(dt)            # [K, 5, 5, 64]
+    # negative indices WRAP under .at[] (NumPy semantics) — route them to
+    # the high OOB side so mode="fill" zeroes them like the >=H/W cases
+    py = jnp.where(py >= 0, py, H)
+    px = jnp.where(px >= 0, px, W)
+    patch = shared.at[py, px].get(mode="fill",
+                                  fill_value=0).astype(dt)   # [K, 25, 64]
 
-    # im2col of the 3x3 hidden positions over the 5x5 patch
-    p2 = jnp.stack([patch[:, py:py + 3, px:px + 3]
-                    for py in range(3) for px in range(3)], axis=3)
+    # im2col of the 3x3 hidden positions over the 5x5 patch: one static
+    # index-select on the 25-slot axis (tap p at hidden offset (a, b) reads
+    # flat slot (a + p//3)*5 + (b + p%3))
+    import numpy as _np
+    sel = _np.asarray([[[(a + p // 3) * 5 + (b + p % 3) for p in range(9)]
+                        for b in range(3)] for a in range(3)])
+    p2 = patch[:, jnp.asarray(sel)]
     # [K, 3, 3, 9, 64]
 
     names = [n for n, _ in branches if n != "hm"]

@@ -109,31 +109,41 @@ def set_partition(part: WindowPartition, pillar_valid: jax.Array,
     inwin_cap = max(wx * wy * wz, wx * wz * wy) + 1
     big = jnp.int32(P * inwin_cap + inwin_cap)
 
+    pos = jnp.arange(P, dtype=jnp.int32)
+
     def axis_order(axis_key):
+        """Sorted composite keys AND the permutation from ONE lax.sort —
+        argsort is this same sort with the sorted keys thrown away, and
+        keeping them makes the sorted window ids a cheap division instead
+        of a [P] gather by `order` (0.29 ms/frame, round-3 trace)."""
         composite = jnp.where(pillar_valid,
                               part.win_id * inwin_cap + axis_key, big)
-        order = jnp.argsort(composite, stable=True)  # [P] pillar ids
-        return order
+        s_comp, order = jax.lax.sort_key_val(composite, pos, is_stable=True)
+        return s_comp, order
 
-    order_y = axis_order(key_y)
-    order_x = axis_order(key_x)
+    s_comp_y, order_y = axis_order(key_y)
+    _, order_x = axis_order(key_x)
 
-    # window segmentation over the sorted stream (same for both axes)
-    s_win = jnp.where(pillar_valid[order_y], part.win_id[order_y], -1)
+    # window segmentation over the sorted stream (same for both axes):
+    # the sorted window id comes straight off the sorted composite key
+    s_valid = s_comp_y < big
+    s_win = jnp.where(s_valid, s_comp_y // inwin_cap, -1)
     prev = jnp.concatenate([jnp.full((1,), -2, jnp.int32), s_win[:-1]])
-    s_valid = s_win >= 0
     new_win = s_valid & (s_win != prev)
     win_rank = jnp.cumsum(new_win.astype(jnp.int32)) - 1          # [P]
     win_count = jnp.sum(new_win.astype(jnp.int32))
 
     W = min(P, spec.num_windows(cfg.sparse_shape)[0]
             * spec.num_windows(cfg.sparse_shape)[1])
-    pos = jnp.arange(P, dtype=jnp.int32)
     win_rank_safe = jnp.where(s_valid & (win_rank < W), win_rank, W)
-    win_start = jnp.zeros((W + 1,), jnp.int32).at[win_rank_safe].max(
-        jnp.where(new_win, pos, 0), mode="drop")
-    win_size = jnp.zeros((W + 1,), jnp.int32).at[win_rank_safe].add(
-        s_valid.astype(jnp.int32), mode="drop")
+    # (start | size) in ONE [W+1, 2] scatter-add: the start column has a
+    # single contributor per window (its new_win head), so add == max —
+    # the same one-scatter trick as the voxelizer's registry column
+    contrib = jnp.stack([jnp.where(new_win, pos, 0),
+                         s_valid.astype(jnp.int32)], axis=1)
+    acc = jnp.zeros((W + 1, 2), jnp.int32).at[win_rank_safe].add(
+        contrib, mode="drop", indices_are_sorted=True)
+    win_start, win_size = acc[:, 0], acc[:, 1]
 
     # set allocation: ceil(N/K) sets per window, laid out window-major
     # (getLocalIndex_kernel, getSet.cu:335-349 — ours is deterministic where
