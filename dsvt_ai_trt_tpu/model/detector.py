@@ -34,7 +34,8 @@ def forward(params: Dict, points: jax.Array, num_points: jax.Array,
     """points: [max_points, 4]; num_points: [] int32."""
     precision = cfg.precision
     pillars = voxelize(points, num_points, cfg)
-    feats = vfe_forward(pillars, params["vfe"], cfg.max_pillars, precision)
+    feats = vfe_forward(pillars, params["vfe"], cfg.max_pillars, precision,
+                        cap=cfg.max_points_per_pillar if cfg.use_pallas else None)
 
     wparts, sparts = [], []
     for spec in cfg.window_specs:
@@ -118,7 +119,8 @@ def forward_debug(params, points, num_points, cfg: DSVTConfig) -> IntermediateOu
     commented-out cnpy .npy dumps, cpp:1943-1949)."""
     precision = cfg.precision
     pillars = voxelize(points, num_points, cfg)
-    pfeats = vfe_forward(pillars, params["vfe"], cfg.max_pillars, precision)
+    pfeats = vfe_forward(pillars, params["vfe"], cfg.max_pillars, precision,
+                         allow_pallas=False)
     wparts, sparts = [], []
     for spec in cfg.window_specs:
         wp = window_partition(pillars.coords, pillars.pillar_valid, spec, cfg)
