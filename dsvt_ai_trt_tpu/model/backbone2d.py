@@ -102,23 +102,27 @@ def _res_unit(x, unit, stride, precision):
 
 
 def _upsample(x, w, b, k, precision):
-    """ConvTranspose2d with kernel==stride as einsum + pixel shuffle.
+    """ConvTranspose2d with kernel==stride via lax.conv_transpose.
 
-    w layout: [in, out, k, k] (torch ConvTranspose2d).  Because k == stride
-    and padding == 0, out[y*k+dy, x*k+dx, o] = sum_i in[y,x,i] * w[i,o,dy,dx]
-    exactly (deconvBnLELU, cpp:225-245).
+    w layout: [in, out, k, k] (torch ConvTranspose2d); passed as
+    [k, k, out, in] with transpose_kernel=True, which reproduces
+    out[y*k+dy, x*k+dx, o] = sum_i in[y,x,i] * w[i,o,dy,dx] exactly
+    (deconvBnLELU, cpp:225-245; orientation sweep measured err 0.0).
+
+    A matmul + [H, k, W, k, O] -> [H*k, W*k, O] pixel-shuffle reshape was
+    the round-1..3 formulation — that reshape is a genuine relayout whose
+    conv-output layout XLA demotes to T(2,128) (the size-k second-minor
+    dim), two copies per deblock; conv_transpose traced 2x faster
+    standalone (0.23 vs 0.46 ms at k=2, 0.26 vs 0.37 at k=4).
     """
-    H, W, _ = x.shape
     dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    # emit the matmul result in dt: the [H, k, W, k, O] -> [H*k, W*k, O]
-    # pixel shuffle is a genuine relayout copy (112 MB at k=2 in f32,
-    # 0.25 ms traced) — bf16 on fast paths halves it; MXU accumulation is
-    # f32 in-kernel either way
-    y = jnp.einsum("hwi,ioyx->hywxo", x.astype(dt), w.astype(dt),
-                   preferred_element_type=dt,
-                   precision=dot_precision(precision))
-    y = y.reshape(H * k, W * k, w.shape[1]) + b.astype(dt)
-    return jnp.maximum(y, 0.0).astype(dt)
+    wk = jnp.transpose(w, (2, 3, 1, 0)).astype(dt)      # [k, k, out, in]
+    y = jax.lax.conv_transpose(
+        x.astype(dt)[None], wk, (k, k), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        transpose_kernel=True, precision=dot_precision(precision),
+        preferred_element_type=dt)[0]
+    return jnp.maximum(y + b.astype(dt), 0.0).astype(dt)
 
 
 def backbone2d_forward(bev: jax.Array, params: dict,
