@@ -34,50 +34,48 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attn_kernel_flat(qkv_ref, valid_ref, out_ref, *, num_heads: int,
-                      k_slots: int, group: int):
-    """Flat-layout kernel: [BS*K, 3C] rows in, [BS*K, C] rows out.
+def _attn_kernel_pairs(qkv_ref, valid_ref, out_ref, *, num_heads: int,
+                       k_slots: int, group: int):
+    """Merged-head set attention over a flat canonical-slot stream.
 
-    The 3D [S, K, C] tensors around the kernel tile K = 36 to 40 sublanes,
-    so the gather->kernel and kernel->scatter-back boundaries each pay a
-    relayout copy (~0.5 ms/frame).  This kernel keeps the HBM tensors FLAT
-    (row r = set r//K, slot r%K — exactly the canonical-slot convention of
-    the scatter-back) and slices per-GROUP inside VMEM.  K-row slices are
-    not sublane-aligned (36 % 8 != 0), so sets are processed in groups of
-    `group` = 8/gcd(K, 8) whose row count IS aligned.
+    Layout: the [S*K, 3C] gather is viewed as [S/G, G*K, 3C] with
+    G = 8/gcd(K, 8) sets per group — G*K is sublane-aligned, so the 3D
+    view is a BITCAST of the flat layout (the natural [S, K, *] view tiles
+    K = 36 to 40 sublanes and every boundary paid a relayout copy).  The
+    per-group math runs as Mosaic batched dots over the whole block; a
+    per-group Python unroll traced ~25% slower.
 
-    Merged-head math: head h's keys are rows of a lane-masked block-
-    diagonal [H*G*K, C] matrix, so one [GK, C] x [C, HGK] dot yields every
-    (head, set-in-group) [K, K] logit block side by side on the N axis —
-    2 big MXU dots per group instead of 2*H tiny [36, 24] dots per set
-    (a per-head-unrolled variant traced 1.0 ms/frame slower: each tiny
-    dot uses <6% of an MXU pass).  Cross-set logits are killed by a
-    STATIC additive quadrant mask; groups larger than the alignment
-    minimum were measured and lose (G=4: 1.5x, G=8: 2.7x — the G-fold
-    logit FLOP inflation outruns the matmul-size win).
+    Merged heads: head h's keys for the group are rows [h*GK, (h+1)*GK)
+    of a lane-masked block-diagonal [H*G*K, C] matrix, so ONE batched
+    [GK, C] x [C, HGK] dot yields every (head, set) [K, K] logit block
+    side by side on the N axis — vs 2*H tiny [36, 24] dots per set, each
+    using <6% of an MXU pass (traced 1.0 ms/frame slower).  Cross-set
+    logits die under a STATIC additive quadrant mask; larger groups were
+    measured and lose (G=4: 1.5x, G=8: 2.7x — the G-fold logit FLOP
+    inflation outruns the matmul-size win).
 
-    The key mask is MULTIPLICATIVE here, folded into the V replication and
-    the segment-sum selector (columns of dead keys contribute e * 0), with
-    validity arriving as a flat [BS*K, 1] 0/1 column — an additive [1, HGK]
-    mask row cannot be built in-kernel (assembling it needs a lane-concat
-    of K-wide pieces at mixed sublane offsets, which Mosaic rejects:
-    "offset mismatch on non-concat dimension").  Exactness: dead columns
-    enter the segment max as logit 0 (their gathered k is the OOB zero
-    fill), so m >= true max still and softmax shift-invariance keeps
-    o/s bit-meaningful; fully-dead segments give s = 0 -> output 0.
+    The key mask is MULTIPLICATIVE, folded into the V replication and the
+    segment-sum selector (dead-key columns contribute e * 0), with
+    validity arriving as a [.., G*K, 1] 0/1 column — an additive [1, HGK]
+    mask row cannot be assembled in-kernel (lane-concat of K-wide pieces
+    at mixed sublane offsets; Mosaic rejects it).  Exactness: dead columns
+    enter the per-segment max as logit 0 (their gathered k is the OOB zero
+    fill), so m >= true max and softmax shift-invariance holds; fully-dead
+    segments give s = 0 -> output exactly 0 (all-masked sets hard-zero).
     """
-    qkv = qkv_ref[:]                      # [BS*K, 3C] bf16
-    R, C3 = qkv.shape
+    qkv = qkv_ref[:]                      # [B, GK, 3C] bf16
+    vld = valid_ref[:]                    # [B, GK, 1] f32 0/1
+    B, GK, C3 = qkv.shape
     C = C3 // 3
     K = k_slots
     G = group
     H = num_heads
     D = C // H
-    GK = G * K
     HGK = H * GK
     scale = jnp.float32(1.0) / jnp.sqrt(jnp.float32(D))
 
-    # static masks (loop-invariant).  Column ordering: c = h*GK + g*K + j.
+    # static masks; column/row ordering c = h*GK + g*K + j (as in the flat
+    # kernel)
     lane_head = jax.lax.broadcasted_iota(jnp.int32, (HGK, C), 1) // D
     row_head = jax.lax.broadcasted_iota(jnp.int32, (HGK, C), 0) // GK
     bd = (row_head == lane_head).astype(qkv.dtype)       # [HGK, C]
@@ -91,34 +89,31 @@ def _attn_kernel_flat(qkv_ref, valid_ref, out_ref, *, num_heads: int,
           jax.lax.broadcasted_iota(jnp.int32, (G * H, C), 1) // D
           ).astype(jnp.float32)                          # [(h, g), C]
 
-    for p in range(R // GK):
-        blk = qkv[p * GK:(p + 1) * GK]                   # [GK, 3C] aligned
-        vblk = valid_ref[p * GK:(p + 1) * GK]            # [GK, 1] 0/1 f32
-        vcol = jnp.concatenate([vblk] * H, axis=0)       # [HGK, 1]
-        q = blk[:, :C]
-        kt = jnp.concatenate([blk[:, C:2 * C]] * H, axis=0) * bd   # [HGK, C]
-        vt = (jnp.concatenate([blk[:, 2 * C:]] * H, axis=0) * bd
-              * vcol.astype(qkv.dtype))
+    q = qkv[:, :, :C]
+    kt = jnp.concatenate([qkv[:, :, C:2 * C]] * H, axis=1) * bd[None]
+    vcol = jnp.concatenate([vld] * H, axis=1)              # [B, HGK, 1]
+    vt = (jnp.concatenate([qkv[:, :, 2 * C:]] * H, axis=1) * bd[None]
+          * vcol.astype(qkv.dtype))
 
-        logits = jax.lax.dot_general(
-            q, kt, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [GK, HGK]
-        logits = logits * scale + quad
+    logits = jax.lax.dot_general(
+        q, kt, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # [B, GK, HGK]
+    logits = logits * scale + quad[None]
 
-        m = jnp.concatenate(
-            [jnp.broadcast_to(
-                jnp.max(logits[:, s * K:(s + 1) * K], axis=-1, keepdims=True),
-                (GK, K)) for s in range(H * G)], axis=-1)
-        e = jnp.exp(logits - jnp.maximum(m, jnp.float32(-1e37)))
+    m = jnp.concatenate(
+        [jnp.broadcast_to(
+            jnp.max(logits[:, :, s * K:(s + 1) * K], axis=-1, keepdims=True),
+            (B, GK, K)) for s in range(H * G)], axis=-1)
+    e = jnp.exp(logits - jnp.maximum(m, jnp.float32(-1e37)))
 
-        o = jax.lax.dot_general(
-            e.astype(vt.dtype), vt, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [GK, C]
-        s = jax.lax.dot_general(e, seg * vcol,
-                                (((1,), (0,)), ((), ())))  # [GK, G*H]
-        sinv = jnp.where(s > 0.0, 1.0 / s, 0.0)   # dead segments sum to 0
-        r = jax.lax.dot_general(sinv, hs, (((1,), (0,)), ((), ())))
-        out_ref[p * GK:(p + 1) * GK] = (o * r).astype(out_ref.dtype)
+    o = jax.lax.dot_general(
+        e.astype(vt.dtype), vt, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # [B, GK, C]
+    s = jax.lax.dot_general(e, seg[None] * vcol,
+                            (((2,), (1,)), ((0,), (0,))))  # [B, GK, G*H]
+    sinv = jnp.where(s > 0.0, 1.0 / s, 0.0)
+    r = jax.lax.dot_general(sinv, hs, (((2,), (0,)), ((), ())))
+    out_ref[:] = (o * r).astype(out_ref.dtype)
 
 
 def _block_sets(S: int, limit: int = 64) -> int:
@@ -140,30 +135,33 @@ def supported(S: int, K: int, C: int, num_heads: int) -> bool:
 def set_attention_fused_flat(qkv_flat: jax.Array, key_mask: jax.Array,
                              num_heads: int,
                              interpret: bool = False) -> jax.Array:
-    """Flat-layout variant: qkv_flat [S*K, 3C] (row r = set r//K, slot
-    r%K), key_mask [S, K] additive.  Returns [S*K, C] — the canonical-slot
-    convention the scatter-back gathers with, so no [S, K, C] tensor (and
-    no 36->40 sublane-padding relayout) ever exists in HBM."""
+    """Flat-layout entry: qkv_flat [S*K, 3C] (row r = set r//K, slot r%K),
+    key_mask [S, K] additive.  Returns [S*K, C] — the canonical-slot
+    convention the scatter-back gathers with, so no sublane-padded
+    [S, K, C] tensor ever exists in HBM (the [S/G, G*K, *] views passed to
+    the kernel have an 8-aligned second-minor dim: pure bitcasts)."""
     SK, C3 = qkv_flat.shape
     S, K = key_mask.shape
     C = C3 // 3
     import math
     G = 8 // math.gcd(K, 8)
     bs = _block_sets(S)
-    valid = (key_mask >= 0.0).astype(jnp.float32).reshape(S * K, 1)
+    valid = (key_mask >= 0.0).astype(jnp.float32)
 
-    return pl.pallas_call(
-        functools.partial(_attn_kernel_flat, num_heads=num_heads,
+    B = S // G
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_pairs, num_heads=num_heads,
                           k_slots=K, group=G),
         grid=(S // bs,),
         in_specs=[
-            pl.BlockSpec((bs * K, C3), lambda i: (i, 0),
+            pl.BlockSpec((bs // G, G * K, C3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs * K, 1), lambda i: (i, 0),
+            pl.BlockSpec((bs // G, G * K, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bs * K, C), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((bs // G, G * K, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((SK, C), qkv_flat.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, G * K, C), qkv_flat.dtype),
         interpret=interpret,
-    )(qkv_flat, valid)
+    )(qkv_flat.reshape(B, G * K, C3), valid.reshape(B, G * K, 1))
+    return out.reshape(SK, C)
