@@ -52,23 +52,28 @@ def _plan(n_rows: int, cap: int):
     return best
 
 
-def _segmax_kernel(x_ref, xp_ref, xn_ref, f_ref, fp_ref, fn_ref, o_ref, *,
-                   halo: int, nblocks: int, cap: int):
+def _seg_kernel(x_ref, xp_ref, xn_ref, f_ref, fp_ref, fn_ref, o_ref, *,
+                halo: int, nblocks: int, cap: int, op: str):
     ext = jnp.concatenate([xp_ref[:], x_ref[:], xn_ref[:]], axis=0)
     flg = jnp.concatenate([fp_ref[:], f_ref[:], fn_ref[:]], axis=0)
     R2 = ext.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (R2, 1), 0)
     rows_x = jax.lax.broadcasted_iota(jnp.int32, ext.shape, 0)
-    neg = jnp.asarray(_NEG, ext.dtype)
+    if op == "max":
+        ident = jnp.asarray(_NEG, ext.dtype)
+        combine = jnp.maximum
+    else:
+        ident = jnp.asarray(0.0, ext.dtype)
+        combine = jnp.add
 
-    # forward segmented inclusive max: m[r] = max over [start(r), r].
+    # forward segmented inclusive scan: m[r] = reduce over [start(r), r].
     # rounds until the window 2^k reaches `cap` (the longest segment)
     m, fl = ext, flg
     d = 1
     while d < cap:
-        sh_m = jnp.where(rows_x >= d, jnp.roll(m, d, axis=0), neg)
+        sh_m = jnp.where(rows_x >= d, jnp.roll(m, d, axis=0), ident)
         sh_f = jnp.where(row >= d, jnp.roll(fl, d, axis=0), 1.0)
-        m = jnp.where(fl > 0, m, jnp.maximum(m, sh_m))
+        m = jnp.where(fl > 0, m, combine(m, sh_m))
         fl = jnp.maximum(fl, sh_f)
         d *= 2
     fwd = m
@@ -81,22 +86,28 @@ def _segmax_kernel(x_ref, xp_ref, xn_ref, f_ref, fp_ref, fn_ref, o_ref, *,
     m, fl = ext, fe
     d = 1
     while d < cap:
-        sh_m = jnp.where(rows_x < R2 - d, jnp.roll(m, -d, axis=0), neg)
+        sh_m = jnp.where(rows_x < R2 - d, jnp.roll(m, -d, axis=0), ident)
         sh_f = jnp.where(row < R2 - d, jnp.roll(fl, -d, axis=0), 1.0)
-        m = jnp.where(fl > 0, m, jnp.maximum(m, sh_m))
+        m = jnp.where(fl > 0, m, combine(m, sh_m))
         fl = jnp.maximum(fl, sh_f)
         d *= 2
-    total = jnp.maximum(fwd, m)
+    # fwd covers [start, r], bwd covers [r, end]; for max the overlap at r
+    # is idempotent, for sum it is counted twice -> subtract x once
+    total = combine(fwd, m)
+    if op == "sum":
+        total = total - ext
     o_ref[:] = total[halo:R2 - halo].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
-def segmented_max(feats: jax.Array, is_start: jax.Array, cap: int,
-                  interpret: bool = False) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("cap", "op", "interpret"))
+def segmented_reduce(feats: jax.Array, is_start: jax.Array, cap: int,
+                     op: str = "max", interpret: bool = False) -> jax.Array:
     """feats: [N, C]; is_start: [N] bool/float (1 at each segment's first
     row; row 0 of a sorted stream is always a start).  Segments must be
-    contiguous and at most `cap` rows.  Returns [N, C]: each row holds its
-    whole segment's channelwise max."""
+    contiguous and at most `cap` rows (rows of an over-cap segment — only
+    the sorted stream's invalid-sentinel tail — are undefined).  Returns
+    [N, C]: each row holds its whole segment's channelwise max ("max") or
+    sum ("sum")."""
     N, C = feats.shape
     plan = _plan(N, cap)
     assert plan is not None, "caller must gate on plan availability"
@@ -109,7 +120,7 @@ def segmented_max(feats: jax.Array, is_start: jax.Array, cap: int,
     prev_tail = lambda i: (jnp.maximum(i * k - 1, 0), 0)
     next_head = lambda i: (jnp.minimum((i + 1) * k, N // halo - 1), 0)
     return pl.pallas_call(
-        functools.partial(_segmax_kernel, halo=halo, nblocks=nb, cap=cap),
+        functools.partial(_seg_kernel, halo=halo, nblocks=nb, cap=cap, op=op),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((R, C), center, memory_space=pltpu.VMEM),
@@ -123,6 +134,16 @@ def segmented_max(feats: jax.Array, is_start: jax.Array, cap: int,
         out_shape=jax.ShapeDtypeStruct((N, C), feats.dtype),
         interpret=interpret,
     )(feats, feats, feats, f, f, f)
+
+
+def segmented_max(feats: jax.Array, is_start: jax.Array, cap: int,
+                  interpret: bool = False) -> jax.Array:
+    return segmented_reduce(feats, is_start, cap, "max", interpret)
+
+
+def segmented_sum(feats: jax.Array, is_start: jax.Array, cap: int,
+                  interpret: bool = False) -> jax.Array:
+    return segmented_reduce(feats, is_start, cap, "sum", interpret)
 
 
 def plan_available(n_rows: int, cap: int) -> bool:

@@ -82,9 +82,14 @@ class Pillars(NamedTuple):
     point_count: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pillars:
-    """points: [max_points, 4] float32 (zero padded); num_points: [] int32."""
+@functools.partial(jax.jit, static_argnames=("cfg", "allow_pallas"))
+def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig,
+             allow_pallas: bool = True) -> Pillars:
+    """points: [max_points, 4] float32 (zero padded); num_points: [] int32.
+
+    allow_pallas=False forces the XLA scatter for the counts/means
+    reduction (training: the segmented-scan kernel defines no VJP and the
+    cluster means carry gradients)."""
     N = points.shape[0]
     P1 = cfg.max_kept_points
     P = cfg.max_pillars
@@ -186,7 +191,7 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
     pillar_valid = pillar_ids < pillar_count
 
     # per-pillar counts, cluster means AND the registry cell id in ONE
-    # [ones | xyz | cell] scatter-add over the capped membership.  The cell
+    # [ones | xyz | cell] reduction over the capped membership.  The cell
     # column rides as an add because exactly one row per pillar (its
     # new_pillar head) contributes a nonzero value — the separate .max
     # scatter it replaces cost ~0.26 ms/frame (round-3 trace, fusion.58).
@@ -195,11 +200,34 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
          jnp.where(new_pillar, s_cell, 0).astype(jnp.float32)[:, None]],
         axis=1)
     contrib = jnp.where(kept[:, None], contrib, 0.0)
-    acc = jnp.zeros((P + 1, 5), jnp.float32).at[point_pillar].add(
-        contrib, mode="drop", indices_are_sorted=True)
-    counts = acc[:, 0]
-    means = acc[:, 1:4] / jnp.maximum(counts[:, None], 1.0)
-    coords_flat = acc[:P, 4].astype(jnp.int32)  # cells < 2^24: exact in f32
+
+    from .segment_pallas import segmented_sum, plan_available
+    fused = (allow_pallas and cfg.use_pallas
+             and jax.default_backend() == "tpu" and plan_available(P1, CAP))
+    if fused:
+        # segmented-scan kernel over the sorted stream (ops/segment_pallas):
+        # the XLA scatter-add is latency-bound; the scan also yields the
+        # per-POINT segment sums directly, so the means broadcast needs no
+        # gather.  Boundary flags come from point_pillar (the sentinel tail
+        # gets its own over-cap segment — rows undefined, values all zero,
+        # every consumer masks them).
+        scan_start = jnp.concatenate(
+            [jnp.ones((1,), bool), point_pillar[1:] != point_pillar[:-1]])
+        seg = segmented_sum(contrib, scan_start, CAP)       # [P1, 5]
+        m = seg[:, 1:4] / jnp.maximum(seg[:, 0:1], 1.0)     # per-point means
+        # [P] tables = the scan value at each pillar's first row
+        starts = jnp.full((P + 1,), P1, jnp.int32).at[point_pillar].min(
+            pos, mode="drop", indices_are_sorted=True)
+        table = seg.at[starts[:P]].get(mode="fill", fill_value=0)
+        counts = jnp.concatenate([table[:, 0], jnp.zeros((1,), jnp.float32)])
+        coords_flat = table[:, 4].astype(jnp.int32)  # cells < 2^24: exact
+    else:
+        acc = jnp.zeros((P + 1, 5), jnp.float32).at[point_pillar].add(
+            contrib, mode="drop", indices_are_sorted=True)
+        counts = acc[:, 0]
+        means = acc[:, 1:4] / jnp.maximum(counts[:, None], 1.0)
+        coords_flat = acc[:P, 4].astype(jnp.int32)  # cells < 2^24: exact
+        m = means[point_pillar]
     coords = jnp.stack([coords_flat // gx, coords_flat % gx], axis=-1)  # (iy, ix)
     coords = jnp.where(pillar_valid[:, None], coords, 0)
 
@@ -207,7 +235,6 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
     # [x, y, z, intensity, d_cluster(3), d_center(3)] — the cell index is
     # re-derived from the point like generateFeatures_kernel (cu:843-845),
     # using the same edge-table rule as the binning above
-    m = means[point_pillar]
     cx = (s_bins[:, 0] + 0.5) * vx + xmin
     cy = (s_bins[:, 1] + 0.5) * vy + ymin
     cz = (s_bins[:, 2] + 0.5) * vz + zmin
