@@ -46,7 +46,8 @@ def vfe_forward(pillars: Pillars, params: dict, max_pillars: int,
     N = pillars.point_feats.shape[0]
     pid = pillars.point_pillar
     fused = (allow_pallas and cap is not None
-             and jax.default_backend() == "tpu" and plan_available(N, cap))
+             and jax.default_backend() == "tpu"
+             and plan_available(N, cap, 192))
     if fused:
         is_start = jnp.concatenate(
             [jnp.ones((1,), bool), pid[1:] != pid[:-1]])

@@ -203,7 +203,8 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig,
 
     from .segment_pallas import segmented_sum, plan_available
     fused = (allow_pallas and cfg.use_pallas
-             and jax.default_backend() == "tpu" and plan_available(P1, CAP))
+             and jax.default_backend() == "tpu"
+             and plan_available(P1, CAP, 5))
     if fused:
         # segmented-scan kernel over the sorted stream (ops/segment_pallas):
         # the XLA scatter-add is latency-bound; the scan also yields the
