@@ -89,8 +89,8 @@ def test_fused_masked_slot_isolation(rng):
 
 
 def test_block_divisor_rules():
-    assert _block_sets(800) == 40        # multiple of 8, divides 800, <= 64
-    assert _block_sets(1024) == 64
+    assert _block_sets(800) == 40        # multiple of 8, divides 800, <= 40
+    assert _block_sets(1024) == 32       # VMEM-bounded (Waymo shapes)
     assert _block_sets(8) == 8
     assert _block_sets(7) == 0           # no aligned divisor -> unsupported
     assert supported(800, 36, 192, 8)
