@@ -13,6 +13,13 @@ import jax
 # env var alone is not enough — force the CPU backend via the config API.
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: the suite's cost is dominated by CPU XLA
+# compiles of the full detector at several tiny configs; warm reruns drop
+# from ~4 min to well under the 3-min fast-suite budget
+from dsvt_ai_trt_tpu.runtime.compile import enable_persistent_cache
+
+enable_persistent_cache("~/.cache/dsvt_tpu_xla_tests")
+
 import numpy as np
 import pytest
 
