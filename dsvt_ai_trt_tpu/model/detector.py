@@ -118,7 +118,7 @@ def forward_debug(params, points, num_points, cfg: DSVTConfig) -> IntermediateOu
     """Per-stage outputs for parity debugging (the reference's analogue is
     commented-out cnpy .npy dumps, cpp:1943-1949)."""
     precision = cfg.precision
-    pillars = voxelize(points, num_points, cfg, allow_pallas=False)
+    pillars = voxelize(points, num_points, cfg)
     pfeats = vfe_forward(pillars, params["vfe"], cfg.max_pillars, precision,
                          allow_pallas=False)
     wparts, sparts = [], []

@@ -59,18 +59,14 @@ def _plan(n_rows: int, cap: int, n_cols: int = 128):
 
 
 def _seg_kernel(x_ref, xp_ref, xn_ref, f_ref, fp_ref, fn_ref, o_ref, *,
-                halo: int, nblocks: int, cap: int, op: str):
+                halo: int, nblocks: int, cap: int):
     ext = jnp.concatenate([xp_ref[:], x_ref[:], xn_ref[:]], axis=0)
     flg = jnp.concatenate([fp_ref[:], f_ref[:], fn_ref[:]], axis=0)
     R2 = ext.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (R2, 1), 0)
     rows_x = jax.lax.broadcasted_iota(jnp.int32, ext.shape, 0)
-    if op == "max":
-        ident = jnp.asarray(_NEG, ext.dtype)
-        combine = jnp.maximum
-    else:
-        ident = jnp.asarray(0.0, ext.dtype)
-        combine = jnp.add
+    ident = jnp.asarray(_NEG, ext.dtype)
+    combine = jnp.maximum
 
     # forward segmented inclusive scan: m[r] = reduce over [start(r), r].
     # rounds until the window 2^k reaches `cap` (the longest segment)
@@ -97,23 +93,23 @@ def _seg_kernel(x_ref, xp_ref, xn_ref, f_ref, fp_ref, fn_ref, o_ref, *,
         m = jnp.where(fl > 0, m, combine(m, sh_m))
         fl = jnp.maximum(fl, sh_f)
         d *= 2
-    # fwd covers [start, r], bwd covers [r, end]; for max the overlap at r
-    # is idempotent, for sum it is counted twice -> subtract x once
-    total = combine(fwd, m)
-    if op == "sum":
-        total = total - ext
+    # fwd covers [start, r], bwd covers [r, end]; max's overlap at r is
+    # idempotent.  (A sum variant — fwd + bwd - x — was built for the
+    # voxelizer's counts/means and measured 0.35 ms SLOWER than the XLA
+    # scatter there: its [N, 5] contrib pads to 128 VMEM lanes, so the scan
+    # pays ~26x-padded VPU work; narrow-column reductions stay scatters.)
+    total = jnp.maximum(fwd, m)
     o_ref[:] = total[halo:R2 - halo].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "op", "interpret"))
-def segmented_reduce(feats: jax.Array, is_start: jax.Array, cap: int,
-                     op: str = "max", interpret: bool = False) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
+def segmented_max(feats: jax.Array, is_start: jax.Array, cap: int,
+                  interpret: bool = False) -> jax.Array:
     """feats: [N, C]; is_start: [N] bool/float (1 at each segment's first
     row; row 0 of a sorted stream is always a start).  Segments must be
     contiguous and at most `cap` rows (rows of an over-cap segment — only
     the sorted stream's invalid-sentinel tail — are undefined).  Returns
-    [N, C]: each row holds its whole segment's channelwise max ("max") or
-    sum ("sum")."""
+    [N, C]: each row holds its whole segment's channelwise max."""
     N, C = feats.shape
     plan = _plan(N, cap, C)
     assert plan is not None, "caller must gate on plan availability"
@@ -126,7 +122,7 @@ def segmented_reduce(feats: jax.Array, is_start: jax.Array, cap: int,
     prev_tail = lambda i: (jnp.maximum(i * k - 1, 0), 0)
     next_head = lambda i: (jnp.minimum((i + 1) * k, N // halo - 1), 0)
     return pl.pallas_call(
-        functools.partial(_seg_kernel, halo=halo, nblocks=nb, cap=cap, op=op),
+        functools.partial(_seg_kernel, halo=halo, nblocks=nb, cap=cap),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((R, C), center, memory_space=pltpu.VMEM),
@@ -140,16 +136,6 @@ def segmented_reduce(feats: jax.Array, is_start: jax.Array, cap: int,
         out_shape=jax.ShapeDtypeStruct((N, C), feats.dtype),
         interpret=interpret,
     )(feats, feats, feats, f, f, f)
-
-
-def segmented_max(feats: jax.Array, is_start: jax.Array, cap: int,
-                  interpret: bool = False) -> jax.Array:
-    return segmented_reduce(feats, is_start, cap, "max", interpret)
-
-
-def segmented_sum(feats: jax.Array, is_start: jax.Array, cap: int,
-                  interpret: bool = False) -> jax.Array:
-    return segmented_reduce(feats, is_start, cap, "sum", interpret)
 
 
 def plan_available(n_rows: int, cap: int, n_cols: int = 128) -> bool:

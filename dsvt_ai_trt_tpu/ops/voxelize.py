@@ -82,14 +82,9 @@ class Pillars(NamedTuple):
     point_count: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "allow_pallas"))
-def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig,
-             allow_pallas: bool = True) -> Pillars:
-    """points: [max_points, 4] float32 (zero padded); num_points: [] int32.
-
-    allow_pallas=False forces the XLA scatter for the counts/means
-    reduction (training: the segmented-scan kernel defines no VJP and the
-    cluster means carry gradients)."""
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pillars:
+    """points: [max_points, 4] float32 (zero padded); num_points: [] int32."""
     N = points.shape[0]
     P1 = cfg.max_kept_points
     P = cfg.max_pillars
@@ -200,35 +195,18 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig,
          jnp.where(new_pillar, s_cell, 0).astype(jnp.float32)[:, None]],
         axis=1)
     contrib = jnp.where(kept[:, None], contrib, 0.0)
-
-    from .segment_pallas import segmented_sum, plan_available
-    fused = (allow_pallas and cfg.use_pallas
-             and jax.default_backend() == "tpu"
-             and plan_available(P1, CAP, 5))
-    if fused:
-        # segmented-scan kernel over the sorted stream (ops/segment_pallas):
-        # the XLA scatter-add is latency-bound; the scan also yields the
-        # per-POINT segment sums directly, so the means broadcast needs no
-        # gather.  Boundary flags come from point_pillar (the sentinel tail
-        # gets its own over-cap segment — rows undefined, values all zero,
-        # every consumer masks them).
-        scan_start = jnp.concatenate(
-            [jnp.ones((1,), bool), point_pillar[1:] != point_pillar[:-1]])
-        seg = segmented_sum(contrib, scan_start, CAP)       # [P1, 5]
-        m = seg[:, 1:4] / jnp.maximum(seg[:, 0:1], 1.0)     # per-point means
-        # [P] tables = the scan value at each pillar's first row
-        starts = jnp.full((P + 1,), P1, jnp.int32).at[point_pillar].min(
-            pos, mode="drop", indices_are_sorted=True)
-        table = seg.at[starts[:P]].get(mode="fill", fill_value=0)
-        counts = jnp.concatenate([table[:, 0], jnp.zeros((1,), jnp.float32)])
-        coords_flat = table[:, 4].astype(jnp.int32)  # cells < 2^24: exact
-    else:
-        acc = jnp.zeros((P + 1, 5), jnp.float32).at[point_pillar].add(
-            contrib, mode="drop", indices_are_sorted=True)
-        counts = acc[:, 0]
-        means = acc[:, 1:4] / jnp.maximum(counts[:, None], 1.0)
-        coords_flat = acc[:P, 4].astype(jnp.int32)  # cells < 2^24: exact
-        m = means[point_pillar]
+    # NOTE: a segmented-SUM scan variant of this reduction (the VFE's
+    # winning kernel, ops/segment_pallas.py) was built and measured 0.35 ms
+    # SLOWER than this scatter: the [P1, 5] contrib pads to 128 VMEM lanes,
+    # so the scan pays ~26x-padded VPU work plus an extra starts scatter
+    # and table gather, while the scatter's latency cost does not scale
+    # with column count (BENCH r3: voxelize 1.68 vs 1.34 ms).
+    acc = jnp.zeros((P + 1, 5), jnp.float32).at[point_pillar].add(
+        contrib, mode="drop", indices_are_sorted=True)
+    counts = acc[:, 0]
+    means = acc[:, 1:4] / jnp.maximum(counts[:, None], 1.0)
+    coords_flat = acc[:P, 4].astype(jnp.int32)  # cells < 2^24: exact in f32
+    m = means[point_pillar]
     coords = jnp.stack([coords_flat // gx, coords_flat % gx], axis=-1)  # (iy, ix)
     coords = jnp.where(pillar_valid[:, None], coords, 0)
 

@@ -51,22 +51,6 @@ def test_segmented_max_single_point_segments(rng):
     np.testing.assert_array_equal(got, feats)
 
 
-def test_segmented_sum_matches_reference(rng):
-    N, C, CAP, P = 1920, 8, 48, 600
-    from dsvt_ai_trt_tpu.ops.segment_pallas import segmented_sum
-    ids, is_start = _stream(rng, N, P, CAP, 1700)
-    feats = rng.normal(0, 1, (N, C)).astype(np.float32)
-    got = np.asarray(segmented_sum(jnp.asarray(feats), jnp.asarray(is_start),
-                                   CAP, interpret=True))
-    starts = np.flatnonzero(is_start)
-    ends = np.append(starts[1:], N)
-    for s, e in zip(starts, ends):
-        if e - s <= CAP:
-            want = np.broadcast_to(feats[s:e].sum(0), (e - s, C))
-            np.testing.assert_allclose(got[s:e], want, atol=1e-4,
-                                       err_msg=f"segment {s}:{e}")
-
-
 def test_plan_rules():
     assert _plan(30000, 48) is not None          # nuScenes default
     assert _plan(140000, 48) is not None         # Waymo caps
