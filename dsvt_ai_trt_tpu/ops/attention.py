@@ -64,9 +64,16 @@ def set_attention_qkv(qkv_p: jax.Array, inds: jax.Array, key_mask: jax.Array,
         if supported(S, K, C, H):
             # FLAT wide gather + one Pallas kernel (q/k/v split + merged-
             # head dots + softmax all in VMEM); the [S*K, 3C] table never
-            # takes the padded 3D layout
+            # takes the padded 3D layout.  mode="clip", not "fill": the
+            # OOB dump sentinel's row value is never observed — invalid
+            # KEYS are killed by the additive key_mask inside the kernel,
+            # and invalid QUERY slots are never read back (the scatter-back
+            # is a canonical-slot gather over valid pillars only,
+            # model/backbone3d.py) — while "fill" lowers to a separate
+            # [S*K, 3C] select pass re-writing the whole 33 MB gather
+            # output (traced 0.15 ms/frame).
             qkv_flat = jnp.take(qkv_p.astype(gt), inds.reshape(-1), axis=0,
-                                mode="fill", fill_value=0)
+                                mode="clip")
             out = set_attention_fused_flat(qkv_flat, key_mask, H)
             return out if flat_out else out.reshape(S, K, C)
 
