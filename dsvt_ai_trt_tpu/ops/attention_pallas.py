@@ -59,9 +59,16 @@ def _attn_kernel_pairs(qkv_ref, valid_ref, out_ref, *, num_heads: int,
     validity arriving as a [.., G*K, 1] 0/1 column — an additive [1, HGK]
     mask row cannot be assembled in-kernel (lane-concat of K-wide pieces
     at mixed sublane offsets; Mosaic rejects it).  Exactness: dead columns
-    enter the per-segment max as logit 0 (their gathered k is the OOB zero
-    fill), so m >= true max and softmax shift-invariance holds; fully-dead
+    enter the per-segment max with whatever logit their clip-gathered k row
+    produces (ops/attention.py gathers with mode="clip"), so m >= true max
+    over the segment and softmax shift-invariance holds; fully-dead
     segments give s = 0 -> output exactly 0 (all-masked sets hard-zero).
+    The max must stay per-(head, set): one row-global shift makes every
+    head share the best head's scale, and real cross-head logit spread
+    underflowed whole heads to zero (parity recall 0.49 — measured, do not
+    retry); placing the segment maxes by an MXU dot with ``seg`` also
+    loses (f32 dots go through bf16 splitting, and the result traced
+    0.035 ms/call SLOWER than this concat+broadcast build).
     """
     qkv = qkv_ref[:]                      # [B, GK, 3C] bf16
     vld = valid_ref[:]                    # [B, GK, 1] f32 0/1

@@ -16,19 +16,21 @@ def map_to_bev(pillar_feats: jax.Array, coords: jax.Array,
                pillar_valid: jax.Array, grid_hw) -> jax.Array:
     """pillar_feats: [P, C]; coords: [P, 2] (iy, ix).  Returns [H, W, C].
 
-    Scatters by flat linear cell index into an [H*W + P, C] table whose
-    tail rows absorb the invalid pillars (row H*W + i for pillar i), so the
-    index vector is genuinely unique AND nondecreasing: pillars arrive
-    cell-sorted from ops/voxelize (ascending linear cell id, invalid rows
-    at the tail), and both hints hold by construction.  Traced 35% faster
-    than the 2D out-of-bounds-drop scatter this replaces (0.67 vs 1.03 ms
-    standalone on v5e).
+    Scatters by flat linear cell index; invalid pillars get index H*W + i,
+    which drop-mode discards (XLA scatter OOB semantics), so the canvas is
+    exactly [H*W, C] and no tail slice ever materializes (the dump-row
+    variant paid a 0.17 ms full-canvas slice at the backbone boundary).
+    The index vector stays genuinely unique AND nondecreasing: pillars
+    arrive cell-sorted from ops/voxelize (ascending linear cell id, invalid
+    rows at the tail), and both hints hold by construction.  A *2D*-index
+    drop scatter traced 35% slower (1.03 vs 0.67 ms standalone on v5e);
+    the linear form keeps the fast path.
     """
     H, W = grid_hw
     P, C = pillar_feats.shape
     lin = jnp.where(pillar_valid, coords[:, 0] * W + coords[:, 1],
                     H * W + jnp.arange(P, dtype=jnp.int32))
-    canvas = jnp.zeros((H * W + P, C), pillar_feats.dtype)
+    canvas = jnp.zeros((H * W, C), pillar_feats.dtype)
     canvas = canvas.at[lin].set(pillar_feats, indices_are_sorted=True,
-                                unique_indices=True)
-    return canvas[:H * W].reshape(H, W, C)
+                                unique_indices=True, mode="drop")
+    return canvas.reshape(H, W, C)
