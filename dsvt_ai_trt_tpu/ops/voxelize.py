@@ -3,9 +3,11 @@
 Replaces the reference's three-kernel CUDA pipeline
 (plugins/src/points2Features.cu:669-865: atomicAdd scatter into a dense
 468x468x48 grid, occupied-cell compaction, then per-pillar feature math) with
-a single sort-based formulation: one argsort groups points by pillar, a
-cumsum over "new pillar" flags assigns dense pillar ids, and segment ops
-compute the cluster means.  No atomics, no spin-wait races (the reference
+a single sort-based formulation: one payload-carrying stable sort groups
+points by pillar, a second one compacts the capped stream (bitonic sorts
+are vectorized where TPU row scatters are row-serial), a cumsum over "new
+pillar" flags assigns dense pillar ids, and segment ops compute the
+cluster means.  No atomics, no spin-wait races (the reference
 works around one at points2Features.cu:418-426), fully deterministic, and
 every shape static so the whole thing lives inside one XLA program.
 
@@ -117,25 +119,17 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
     cell = jnp.where(valid, iy * gx + ix, jnp.int32(gx * gy))  # sentinel last
 
     # group points by pillar: one stable sort keyed on the cell id keeps
-    # file order within each pillar (deterministic cap semantics).
-    # Index ops at this size are latency-bound per OP, not per byte (a 1-col
-    # gather costs more than a 5-col row gather), so the cell id rides along
-    # in the point row: ONE [N, 5] gather, and validity is re-derived from
-    # the sentinel instead of gathered.
+    # file order within each pillar (deterministic cap semantics).  The
+    # payload (xyzw + the three bin indices) rides through the sort network
+    # as extra lax.sort operands, so the feature stage needs no re-binning
+    # gathers (generateFeatures_kernel re-derives them, cu:843-845 — same
+    # rule, same values) and no [N, 8] pack+gather pass.
     sentinel = jnp.int32(gx * gy)
     edges_z = jnp.asarray(cell_edges(zmin, vz, _gz))
     iz = _edge_bin(z, edges_z, zmin, vz, _gz)
-    order = jnp.argsort(cell, stable=True)
-    # bin indices ride along too, so the feature stage needs no re-binning
-    # gathers (generateFeatures_kernel re-derives them, cu:843-845 — same
-    # rule, same values)
-    packed = jnp.concatenate(
-        [points, cell.astype(jnp.float32)[:, None],
-         ix.astype(jnp.float32)[:, None], iy.astype(jnp.float32)[:, None],
-         iz.astype(jnp.float32)[:, None]], axis=1)[order]
-    s_pts = packed[:, :4]
-    s_cell = packed[:, 4].astype(jnp.int32)
-    s_valid = s_cell != sentinel
+    s_cell, sx, sy, sz, sw, sbx, sby, sbz = jax.lax.sort(
+        (cell, x, y, z, points[:, 3], ix, iy, iz), num_keys=1,
+        is_stable=True)
 
     # rank within pillar + the 48-point cap, computed on the FULL stream.
     # The cap must come before the 30000-row compaction: the reference caps
@@ -143,6 +137,7 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
     # then compacts occupied cells into the MAX_POINTS_NUM_1 point list
     # (generateBaseFeatures_kernel, cu:732-766), so over-cap points in dense
     # pillars never consume compacted-buffer budget.
+    s_valid = s_cell != sentinel
     prev_full = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_cell[:-1]])
     first_of_pillar = s_valid & (s_cell != prev_full)
     pos_full = jnp.arange(N, dtype=jnp.int32)
@@ -153,22 +148,20 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
     capped = s_valid & (rank_full < CAP)
 
     # compact capped points to the front (stable: cell order preserved),
-    # then truncate to the compacted capacity (MAX_POINTS_NUM_1, params.h:25).
-    # Destination = running count of capped rows: one O(N) scatter instead
-    # of a second argsort (TPU sorts are bitonic and dominate this stage)
-    dest = jnp.cumsum(capped.astype(jnp.int32)) - 1
-    dest = jnp.where(capped & (dest < P1), dest, P1)
-    fill = jnp.zeros((P1 + 1, 8), jnp.float32).at[:, 4].set(
-        jnp.float32(gx * gy))
-    # NOTE: dest is NOT nondecreasing (dropped rows point at the dump slot
-    # P1 in between capped rows), so no indices_are_sorted hint here.  A
-    # monotone-dest add-scatter variant (dropped rows aimed at the next slot
-    # with zero payload) measured WORSE: add is read-modify-write, 0.43 vs
-    # 0.24 ms, plus a 0.17 ms payload copy (round-3 trace).
-    compacted = fill.at[dest].set(packed, mode="drop")[:P1]
-    s_pts = compacted[:, :4]
-    s_cell = compacted[:, 4].astype(jnp.int32)
-    s_bins = compacted[:, 5:8]
+    # then truncate to the compacted capacity (MAX_POINTS_NUM_1, params.h:25)
+    # — as a SECOND multi-operand stable sort on the cap-adjusted key, not a
+    # row scatter: TPU scatters are row-serial (~8-10 ns/row, measured
+    # width-independent) while the bitonic sort network is fully vectorized;
+    # at Waymo's N=200K the [N, 8] compaction scatter traced 1.92 ms vs
+    # ~0.7 ms for the payload-carrying sort.  (A monotone-dest add-scatter
+    # variant also measured WORSE than the set-scatter: 0.43 vs 0.24 ms at
+    # N=50K, round-3 trace.)
+    key2 = jnp.where(capped, s_cell, sentinel)
+    s_cell, sx, sy, sz, sw, sbx, sby, sbz = (
+        c[:P1] for c in jax.lax.sort(
+            (key2, sx, sy, sz, sw, sbx, sby, sbz), num_keys=1,
+            is_stable=True))
+    s_pts = jnp.stack([sx, sy, sz, sw], axis=1)
     s_valid = s_cell != sentinel
 
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_cell[:-1]])
@@ -214,13 +207,13 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
     # [x, y, z, intensity, d_cluster(3), d_center(3)] — the cell index is
     # re-derived from the point like generateFeatures_kernel (cu:843-845),
     # using the same edge-table rule as the binning above
-    cx = (s_bins[:, 0] + 0.5) * vx + xmin
-    cy = (s_bins[:, 1] + 0.5) * vy + ymin
-    cz = (s_bins[:, 2] + 0.5) * vz + zmin
-    feats = jnp.concatenate([
-        s_pts[:, :4],
-        s_pts[:, :3] - m,
-        jnp.stack([s_pts[:, 0] - cx, s_pts[:, 1] - cy, s_pts[:, 2] - cz], axis=-1),
+    cx = (sbx.astype(jnp.float32) + 0.5) * vx + xmin
+    cy = (sby.astype(jnp.float32) + 0.5) * vy + ymin
+    cz = (sbz.astype(jnp.float32) + 0.5) * vz + zmin
+    feats = jnp.stack([
+        sx, sy, sz, sw,
+        sx - m[:, 0], sy - m[:, 1], sz - m[:, 2],
+        sx - cx, sy - cy, sz - cz,
     ], axis=-1)
     feats = jnp.where(kept[:, None], feats, 0.0)
 
