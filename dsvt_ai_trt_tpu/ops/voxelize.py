@@ -127,9 +127,10 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
     sentinel = jnp.int32(gx * gy)
     edges_z = jnp.asarray(cell_edges(zmin, vz, _gz))
     iz = _edge_bin(z, edges_z, zmin, vz, _gz)
-    s_cell, sx, sy, sz, sw, sbx, sby, sbz = jax.lax.sort(
-        (cell, x, y, z, points[:, 3], ix, iy, iz), num_keys=1,
-        is_stable=True)
+    # ix/iy do NOT ride: they are recoverable from the key itself
+    # (cell = iy*gx + ix), so only the z bin pays sort-network bandwidth
+    s_cell, sx, sy, sz, sw, sbz = jax.lax.sort(
+        (cell, x, y, z, points[:, 3], iz), num_keys=1, is_stable=True)
 
     # rank within pillar + the 48-point cap, computed on the FULL stream.
     # The cap must come before the 30000-row compaction: the reference caps
@@ -157,10 +158,11 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
     # variant also measured WORSE than the set-scatter: 0.43 vs 0.24 ms at
     # N=50K, round-3 trace.)
     key2 = jnp.where(capped, s_cell, sentinel)
-    s_cell, sx, sy, sz, sw, sbx, sby, sbz = (
+    s_cell, sx, sy, sz, sw, sbz = (
         c[:P1] for c in jax.lax.sort(
-            (key2, sx, sy, sz, sw, sbx, sby, sbz), num_keys=1,
-            is_stable=True))
+            (key2, sx, sy, sz, sw, sbz), num_keys=1, is_stable=True))
+    sbx = s_cell % gx
+    sby = s_cell // gx
     s_pts = jnp.stack([sx, sy, sz, sw], axis=1)
     s_valid = s_cell != sentinel
 
@@ -178,27 +180,40 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
     pillar_ids = jnp.arange(P, dtype=jnp.int32)
     pillar_valid = pillar_ids < pillar_count
 
-    # per-pillar counts, cluster means AND the registry cell id in ONE
-    # [ones | xyz | cell] reduction over the capped membership.  The cell
-    # column rides as an add because exactly one row per pillar (its
-    # new_pillar head) contributes a nonzero value — the separate .max
-    # scatter it replaces cost ~0.26 ms/frame (round-3 trace, fusion.58).
-    contrib = jnp.concatenate(
-        [jnp.ones((P1, 1), jnp.float32), s_pts[:, :3],
-         jnp.where(new_pillar, s_cell, 0).astype(jnp.float32)[:, None]],
-        axis=1)
-    contrib = jnp.where(kept[:, None], contrib, 0.0)
-    # NOTE: a segmented-SUM scan variant of this reduction (the VFE's
-    # winning kernel, ops/segment_pallas.py) was built and measured 0.35 ms
-    # SLOWER than this scatter: the [P1, 5] contrib pads to 128 VMEM lanes,
-    # so the scan pays ~26x-padded VPU work plus an extra starts scatter
-    # and table gather, while the scatter's latency cost does not scale
-    # with column count (BENCH r3: voxelize 1.68 vs 1.34 ms).
-    acc = jnp.zeros((P + 1, 5), jnp.float32).at[point_pillar].add(
-        contrib, mode="drop", indices_are_sorted=True)
-    counts = acc[:, 0]
-    means = acc[:, 1:4] / jnp.maximum(counts[:, None], 1.0)
-    coords_flat = acc[:P, 4].astype(jnp.int32)  # cells < 2^24: exact in f32
+    # per-pillar counts and cluster means WITHOUT a row-serial scatter-add
+    # (the [P1, 5] .at[].add traced 1.17 ms at Waymo's P1=140K, ~8 ns/row):
+    # a segmented Hillis-Steele inclusive sum over four rank-1 streams.
+    # Segment runs are <= CAP = 48 rows by construction, so SIX shift-add
+    # passes (2^6 = 64 >= 48) complete every segment; rank-1 streams keep
+    # full 128-lane tiles (the earlier Pallas [P1, 5] scan lost to 26x lane
+    # padding — that note still holds for 2-D narrow arrays).
+    rank_c = pos - jax.lax.associative_scan(
+        jnp.maximum, jnp.where(new_pillar, pos, 0))
+    streams = [jnp.where(kept, 1.0, 0.0), jnp.where(kept, sx, 0.0),
+               jnp.where(kept, sy, 0.0), jnp.where(kept, sz, 0.0)]
+    for s in (1, 2, 4, 8, 16, 32):
+        take = rank_c >= s
+        streams = [v + jnp.where(
+            take, jnp.concatenate([jnp.zeros((s,), v.dtype), v[:-s]]), 0.0)
+            for v in streams]
+    # segment totals sit at each pillar's LAST row; head positions compact
+    # to pillar order through one 1-operand sort (heads are ascending), and
+    # ends[p] = starts[p+1] - 1 with the all-valid prefix as the backstop
+    starts_all = jnp.sort(jnp.where(new_pillar, pos, jnp.int32(P1)))
+    n_rows = jnp.sum(s_valid.astype(jnp.int32))
+    ends_c = jnp.clip(jnp.minimum(starts_all[1:P + 1], n_rows) - 1,
+                      0, P1 - 1)
+    totals = [jnp.where(pillar_valid, jnp.take(v, ends_c), 0.0)
+              for v in streams]                              # 4 x [P]
+    counts = jnp.concatenate([totals[0], jnp.zeros((1,), jnp.float32)])
+    means = jnp.stack(totals[1:4], axis=1) / jnp.maximum(
+        totals[0][:, None], 1.0)
+    means = jnp.concatenate([means, jnp.zeros((1, 3), jnp.float32)])
+    # registry cell id: direct head gather (the old scatter carried it as a
+    # 5th add column)
+    coords_flat = jnp.where(
+        pillar_valid, jnp.take(s_cell, jnp.clip(starts_all[:P], 0, P1 - 1)),
+        0)
     m = means[point_pillar]
     coords = jnp.stack([coords_flat // gx, coords_flat % gx], axis=-1)  # (iy, ix)
     coords = jnp.where(pillar_valid[:, None], coords, 0)
