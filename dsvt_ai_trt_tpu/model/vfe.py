@@ -29,6 +29,11 @@ def _dense(x, w, b, precision):
     y = jnp.einsum("pc,cd->pd", x.astype(dt), w.astype(dt),
                    preferred_element_type=jnp.float32,
                    precision=dot_precision(precision)) + b
+    # NOTE: stays f32 on purpose.  Emitting bf16 here (monotone rounding
+    # commutes with the segment max, downstream dots identical) was
+    # measured and LOST: the segmented-max sweep is VPU-bound, not
+    # HBM-bound, and its bf16 form traced 0.94+0.66 vs 0.65+0.48 ms at
+    # Waymo shapes even with a 16-row-aligned block plan.
     return jnp.maximum(y, 0.0)
 
 

@@ -31,20 +31,21 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -3.4028235e38
 
 
-def _plan(n_rows: int, cap: int, n_cols: int = 128):
-    """Pick (R, halo): R | n_rows, halo | R, both multiples of 8, halo >=
-    cap (so a segment never outruns the window), R as large as the VMEM
-    budget allows.  The kernel's working set is ~6 live [R + 2*halo, C]
-    f32 buffers (ext/flags/scan state/roll temps) with C lane-padded to
-    128 — an unbounded R OOM'd scoped VMEM at Waymo shapes (140 K x 192:
-    21.4 MB vs the 16 MB limit).  Returns None when no admissible split
-    exists (caller falls back to the XLA scatter)."""
+def _plan(n_rows: int, cap: int, n_cols: int = 128, sublane: int = 8):
+    """Pick (R, halo): R | n_rows, halo | R, both multiples of the dtype's
+    sublane tile (8 rows for f32, 16 for bf16), halo >= cap (so a segment
+    never outruns the window), R as large as the VMEM budget allows.  The
+    kernel's working set is ~6 live [R + 2*halo, C] f32 buffers (ext/
+    flags/scan state/roll temps) with C lane-padded to 128 — an unbounded
+    R OOM'd scoped VMEM at Waymo shapes (140 K x 192: 21.4 MB vs the
+    16 MB limit).  Returns None when no admissible split exists (caller
+    falls back to the XLA scatter)."""
     if cap > 64:
         return None  # scan rounds cover windows up to 64 rows
     row_bytes = max(n_cols, 128) * 4
     max_ext = int(1.5e6) // row_bytes        # ~1.5 MB per live buffer
     best = None
-    for halo in range(((cap + 7) // 8) * 8, 129, 8):
+    for halo in range(-(-cap // sublane) * sublane, 129, sublane):
         if n_rows % halo:
             continue
         for mult in range(32, 0, -1):        # R up to 128 * 32 = 4096
@@ -111,7 +112,7 @@ def segmented_max(feats: jax.Array, is_start: jax.Array, cap: int,
     the sorted stream's invalid-sentinel tail — are undefined).  Returns
     [N, C]: each row holds its whole segment's channelwise max."""
     N, C = feats.shape
-    plan = _plan(N, cap, C)
+    plan = _plan(N, cap, C, 16 if feats.dtype == jnp.bfloat16 else 8)
     assert plan is not None, "caller must gate on plan availability"
     R, halo = plan
     nb = N // R
@@ -138,5 +139,6 @@ def segmented_max(feats: jax.Array, is_start: jax.Array, cap: int,
     )(feats, feats, feats, f, f, f)
 
 
-def plan_available(n_rows: int, cap: int, n_cols: int = 128) -> bool:
-    return _plan(n_rows, cap, n_cols) is not None
+def plan_available(n_rows: int, cap: int, n_cols: int = 128,
+                   sublane: int = 8) -> bool:
+    return _plan(n_rows, cap, n_cols, sublane) is not None
