@@ -68,6 +68,45 @@ def test_scatter_max_matches_oracle(tiny_cfg, rng):
     np.testing.assert_allclose(np.asarray(pm), pm_ref, atol=1e-6)
 
 
+def test_voxelize_budget_overflow(tiny_cfg, rng):
+    """All three budgets binding at once: >max_pillars distinct cells,
+    >max_kept_points capped rows, and one over-cap cell.  Exercises the
+    sort-compaction truncation path (over-budget pillars are the highest
+    cells, so they fall off the compacted tail first — same sequential
+    budget the oracle applies)."""
+    cfg = tiny_cfg
+    n = cfg.max_points
+    pts, _ = make_cloud(rng, cfg, n)
+    # pile extra points into one cell to force the per-pillar cap too
+    pts = np.asarray(pts).copy()
+    pts[:20, 0] = pts[:20, 1] = 0.05
+    out = voxelize(pts, np.int32(n), cfg)
+    ref = oracles.voxelize_oracle(pts, n, cfg)
+
+    count = int(out.pillar_count)
+    assert count == cfg.max_pillars == len(ref["cells"])
+    assert int(out.point_count) == sum(
+        len(v) for v in ref["pillar_points"].values()) <= cfg.max_kept_points
+
+    np.testing.assert_array_equal(np.asarray(out.coords)[:count],
+                                  ref["coords"])
+    num_points = np.asarray(out.num_points)
+    for p in range(count):
+        assert num_points[p] == len(ref["pillar_points"][p])
+    # spot-check features of the capped pillar and the last kept pillar
+    feats = np.asarray(out.point_feats)
+    point_pillar = np.asarray(out.point_pillar)
+    point_valid = np.asarray(out.point_valid)
+    for p in (0, count - 1):
+        if not len(ref["pillar_points"][p]):
+            continue
+        mine = feats[(point_pillar == p) & point_valid]
+        ref_rows = ref["feats"][p]
+        mine = mine[np.lexsort(mine.T)]
+        ref_rows = ref_rows[np.lexsort(ref_rows.T)]
+        np.testing.assert_allclose(mine, ref_rows, atol=1e-5)
+
+
 def test_points_out_of_range_dropped(tiny_cfg):
     cfg = tiny_cfg
     buf = np.zeros((cfg.max_points, 4), np.float32)
