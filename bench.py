@@ -129,14 +129,24 @@ def main():
     sync_ms = (time.perf_counter() - t0) / (iters * len(frames)) * 1e3
 
     # deployment-path latency: the CLI infer loop (runtime.infer.run_frames),
-    # software-pipelined depth 1 — every frame's boxes ARE read back each
-    # iteration, but the readback overlaps the next frame's compute
+    # software-pipelined depth 2 — every frame's boxes ARE read back each
+    # iteration, two frames behind its dispatch.  As in run_frames, the D2H
+    # transfers are kicked off asynchronously at dispatch time so the
+    # per-frame device_get finds the bytes on the host instead of paying
+    # the tunnel round trip (sync-get depth-1 measured 29.4 ms/frame;
+    # async depth-2 is ~17-18, deeper saves <1 more).
+    def dispatch(pts, n):
+        d = engine(pts, n)
+        d.boxes.copy_to_host_async()
+        d.count.copy_to_host_async()
+        return d
+
     t0 = time.perf_counter()
     for _ in range(iters):
         inflight = []
         for pts, n in frames:
-            inflight.append(engine(pts, n))
-            if len(inflight) > 1:
+            inflight.append(dispatch(pts, n))
+            if len(inflight) > 2:
                 d = inflight.pop(0)
                 jax.device_get((d.boxes, d.count))
         for d in inflight:
