@@ -51,7 +51,11 @@ def _edge_bin(v, edges, vmin, vsize, n):
     it.  Equivalent to searchsorted(edges, v, 'right') - 1 on in-range
     values.  The (lo, hi) edge pair comes from ONE row gather of a
     precomputed [n, 2] table — two separate 1-column gathers cost ~2x as
-    much (gathers are latency-bound per op, not per byte)."""
+    much (gathers are latency-bound per op, not per byte).  Folding the x
+    and y lookups into one gather from a per-cell [gx*gy, 4] table was
+    measured and LOST (~+0.3 ms both configs): the ~500-row per-axis
+    tables are cache/VMEM-resident, while a 3.5 MB per-cell table pays
+    real HBM random access per row."""
     pairs = jnp.stack([edges[:-1], edges[1:]], axis=1)   # [n, 2] constant
     q = jnp.clip(jnp.floor((v - vmin) / vsize).astype(jnp.int32), 0, n - 1)
     p = pairs[q]
