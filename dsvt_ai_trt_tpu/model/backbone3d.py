@@ -75,20 +75,27 @@ def _with_dump_row(x: jax.Array) -> jax.Array:
     return jnp.concatenate([x, jnp.zeros((1, x.shape[-1]), x.dtype)], axis=0)
 
 
-def _scatter_back(attn_out: jax.Array, canon: jax.Array) -> jax.Array:
-    """Gather each pillar's canonical set-slot output.  attn_out: [S*K, C]
-    flat (row = canonical slot) or [S, K, C]; canon: [P] flat slot
-    (S*K = dump -> fill 0).  Returns [P, C].
+def _scatter_back(attn_out: jax.Array, canon: jax.Array,
+                  n_sets: int, k: int) -> jax.Array:
+    """Gather each pillar's canonical set-slot output.  attn_out: [S*Kp, C]
+    flat (row = canonical slot at pitch Kp >= K) or [S, K, C]; canon: [P]
+    flat slot at pitch K (S*K = dump -> fill 0).  Returns [P, C].
 
-    The fast path hands a FLAT [S*K, C] kernel output straight to a 1-D row
-    gather — canon already IS the flat slot index.  The [S, K, C] form
-    (XLA fallback paths) uses a 2D (set, slot) gather instead: flattening
-    it would force a relayout copy (K = 36 sublane-pads to 40, 1.2 ms/frame
-    across the 16 passes in the round-3 trace).  mode="fill" turns the dump
-    sentinel into an out-of-bounds fill instead of a concatenated zero row
-    (the concat materialized a full-table copy per pass).
+    The fast path hands a FLAT flat kernel output straight to a 1-D row
+    gather — when the kernel storage-padded the set dim (K=36 -> Kp=40 for
+    sublane alignment, ops/attention.py:_fused_flat_padded), the flat slot
+    is remapped to the Kp pitch first (the dump sentinel S*K lands at
+    S*Kp: still out of bounds -> fill 0).  The [S, K, C] form (XLA
+    fallback paths) uses a 2D (set, slot) gather instead: flattening it
+    would force a relayout copy (K = 36 sublane-pads to 40, 1.2 ms/frame
+    across the 16 passes in the round-3 trace).  mode="fill" turns the
+    dump sentinel into an out-of-bounds fill instead of a concatenated
+    zero row (the concat materialized a full-table copy per pass).
     """
     if attn_out.ndim == 2:
+        pitch = attn_out.shape[0] // n_sets
+        if pitch != k:
+            canon = (canon // k) * pitch + canon % k
         return attn_out.at[canon].get(mode="fill", fill_value=0)
     S, K, C = attn_out.shape
     return attn_out.at[canon // K, canon % K].get(mode="fill", fill_value=0)
@@ -159,7 +166,9 @@ def backbone3d_forward(pillar_feats: jax.Array,
                 constrain_rows(sp.inds[e]), constrain_rows(sp.key_mask),
                 cfg.num_heads, precision, fused_kernel=use_fused,
                 flat_out=use_fused)
-            attn_p = _scatter_back(constrain_rows(attn), sp.canon[e])
+            n_sets, k_slots = sp.inds[e].shape
+            attn_p = _scatter_back(constrain_rows(attn), sp.canon[e],
+                                   n_sets, k_slots)
 
             if use_fused:
                 from ..ops.encoder_pallas import encoder_epilogue

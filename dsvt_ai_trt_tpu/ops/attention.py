@@ -30,6 +30,37 @@ def _maybe_bf16(x: jax.Array, precision: str) -> jax.Array:
     return x.astype(jnp.bfloat16) if precision == "bf16" else x
 
 
+def _fused_flat_padded(qkv_p: jax.Array, inds: jax.Array, key_mask: jax.Array,
+                       num_heads: int, k_pad: int,
+                       interpret: bool = False) -> jax.Array:
+    """Flat fused-kernel path with the set dim storage-padded K -> k_pad.
+
+    Pad slots gather with mode="clip" (their row values are never observed:
+    the padded key-mask columns are -3.4e38, and pad QUERY slots are never
+    read back — the canonical-slot gather's flat indices are remapped to
+    the k_pad pitch and never land on them, model/backbone3d.py).  "fill"
+    mode would lower to a separate [S*Kp, 3C] select pass re-writing the
+    whole gather output (traced 0.15 ms/frame).  Returns [S*k_pad, C]."""
+    from .attention_pallas import set_attention_fused_flat
+
+    S, K = inds.shape
+    if k_pad != K:
+        # pad with each set's OWN slot-0 index, NOT the dump sentinel: the
+        # pad column's logit then duplicates a live column's (the
+        # per-segment softmax max is unchanged) while the -3.4e38 mask
+        # column kills its contribution.  A sentinel pad clip-gathers the
+        # table's last row — an invalid pillar whose bias-only k can
+        # out-logit every live key by >87 nats, underflowing whole heads
+        # to the hard-zero path (parity recall 0.93, measured).
+        inds = jnp.concatenate(
+            [inds, jnp.broadcast_to(inds[:, :1], (S, k_pad - K))], axis=1)
+        key_mask = jnp.pad(key_mask, ((0, 0), (0, k_pad - K)),
+                           constant_values=jnp.float32(-3.4028235e38))
+    qkv_flat = jnp.take(qkv_p, inds.reshape(-1), axis=0, mode="clip")
+    return set_attention_fused_flat(qkv_flat, key_mask, num_heads,
+                                    interpret=interpret)
+
+
 def set_attention_qkv(qkv_p: jax.Array, inds: jax.Array, key_mask: jax.Array,
                       num_heads: int, precision: str = "fp32",
                       fused_kernel: bool = False,
@@ -60,22 +91,24 @@ def set_attention_qkv(qkv_p: jax.Array, inds: jax.Array, key_mask: jax.Array,
 
     if (fused_kernel and gt is jnp.bfloat16
             and jax.default_backend() == "tpu"):
-        from .attention_pallas import set_attention_fused_flat, supported
+        from .attention_pallas import supported
+        # storage-pad the set dim K (36) to the sublane tile (40): the
+        # padded-K kernel groups ONE set per sublane-aligned block (G=1),
+        # which deletes the cross-set quadrant entirely — the G=2 pairing
+        # computed (and exp'd) 2x the live logits.  The 4 dead slots ride
+        # the gather (+11% rows) and die under the key mask; Eq.(3) set
+        # semantics stay K=36 upstream (ops/windows.py).
+        Kp = -(-K // 8) * 8
+        if flat_out and supported(S, Kp, C, H):
+            out = _fused_flat_padded(qkv_p.astype(gt), inds, key_mask, H, Kp)
+            return out  # [S*Kp, C]: caller derives the slot pitch Kp
         if supported(S, K, C, H):
-            # FLAT wide gather + one Pallas kernel (q/k/v split + merged-
-            # head dots + softmax all in VMEM); the [S*K, 3C] table never
-            # takes the padded 3D layout.  mode="clip", not "fill": the
-            # OOB dump sentinel's row value is never observed — invalid
-            # KEYS are killed by the additive key_mask inside the kernel,
-            # and invalid QUERY slots are never read back (the scatter-back
-            # is a canonical-slot gather over valid pillars only,
-            # model/backbone3d.py) — while "fill" lowers to a separate
-            # [S*K, 3C] select pass re-writing the whole 33 MB gather
-            # output (traced 0.15 ms/frame).
+            # 3D-output form for callers that need [S, K, C]
             qkv_flat = jnp.take(qkv_p.astype(gt), inds.reshape(-1), axis=0,
                                 mode="clip")
+            from .attention_pallas import set_attention_fused_flat
             out = set_attention_fused_flat(qkv_flat, key_mask, H)
-            return out if flat_out else out.reshape(S, K, C)
+            return out.reshape(S, K, C)
 
     # ONE wide gather instead of three: TPU row-gather cost is per-row
     # (latency-bound — a 3x wider row costs ~1.2x, measured), so the set

@@ -88,6 +88,42 @@ def test_fused_masked_slot_isolation(rng):
                                atol=2e-2, rtol=2e-2)
 
 
+def test_padded_k_flat_path_matches_dpa(rng):
+    """The K=36 -> Kp=40 storage-padded fast path (ops/attention.py:
+    _fused_flat_padded, G=1 kernel geometry) + the Kp-pitch canon remap
+    must reproduce the dpa path on every live canonical slot."""
+    from dsvt_ai_trt_tpu.ops.attention import _fused_flat_padded
+    from dsvt_ai_trt_tpu.model.backbone3d import _scatter_back
+
+    P, C, H, S, K = 500, 192, 8, 80, 36
+    Kp = 40
+    qkv_p, inds, mask = _mk(rng, P, C, S, K)
+    inds[3] = P
+    mask[3] = -3.4028235e38
+    assert supported(S, Kp, C, H)
+
+    flat = _fused_flat_padded(jnp.asarray(qkv_p).astype(jnp.bfloat16),
+                              jnp.asarray(inds), jnp.asarray(mask), H, Kp,
+                              interpret=True)
+    assert flat.shape == (S * Kp, C)
+
+    ref = np.asarray(set_attention_qkv(
+        jnp.asarray(qkv_p), jnp.asarray(inds), jnp.asarray(mask), H,
+        "bf16")).astype(np.float32)
+
+    # every live (set, slot) read through the pitch-remapping scatter-back
+    sets, slots = np.nonzero(mask == 0.0)
+    canon = (sets * K + slots).astype(np.int32)
+    got = np.asarray(_scatter_back(flat, jnp.asarray(canon), S, K))
+    np.testing.assert_allclose(got.astype(np.float32),
+                               ref[sets, slots], atol=5e-3, rtol=2e-2)
+
+    # dump sentinel S*K must fill 0 through the remap
+    dump = np.asarray(_scatter_back(flat, jnp.asarray([S * K], np.int32),
+                                    S, K))
+    assert np.all(dump == 0.0)
+
+
 def test_block_divisor_rules():
     assert _block_sets(800) == 40        # multiple of 8, divides 800, <= 40
     assert _block_sets(1024) == 32       # VMEM-bounded (Waymo shapes)

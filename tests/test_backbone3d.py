@@ -29,7 +29,7 @@ def _naive_backbone3d(x, wparts, sparts, params, cfg):
             enc = params["blocks"][b]["enc"][e]
             attn = set_attention(_with_dump_row(x), pos[b][e], sp.inds[e],
                                  sp.key_mask, enc, cfg.num_heads)
-            attn_p = _scatter_back(attn, sp.canon[e])
+            attn_p = _scatter_back(attn, sp.canon[e], *sp.inds[e].shape)
             x1 = layer_norm(x + attn_p, enc["ln1_g"], enc["ln1_b"], eps)
             x2 = layer_norm(x1 + ffn(x1, enc), enc["ln2_g"], enc["ln2_b"], eps)
             x = layer_norm(x2 + x, enc["norm_g"], enc["norm_b"], eps)
