@@ -104,9 +104,9 @@ def set_attention_qkv(qkv_p: jax.Array, inds: jax.Array, key_mask: jax.Array,
             return out  # [S*Kp, C]: caller derives the slot pitch Kp
         if supported(S, K, C, H):
             # 3D-output form for callers that need [S, K, C]
+            from .attention_pallas import set_attention_fused_flat
             qkv_flat = jnp.take(qkv_p.astype(gt), inds.reshape(-1), axis=0,
                                 mode="clip")
-            from .attention_pallas import set_attention_fused_flat
             out = set_attention_fused_flat(qkv_flat, key_mask, H)
             return out.reshape(S, K, C)
 
