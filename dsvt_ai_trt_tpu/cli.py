@@ -71,7 +71,8 @@ def cmd_infer(args):
     paths = frame_paths(args.data)
     if args.frames:
         paths = paths[: args.frames]
-    run_frames(engine, paths, args.out, host_nms=args.host_nms)
+    run_frames(engine, paths, args.out, host_nms=args.host_nms,
+               pipeline_depth=args.pipeline_depth)
 
 
 def cmd_bench(args):
@@ -253,6 +254,9 @@ def main(argv=None):
     p = sub.add_parser("infer", help="run frames, write result txts (-d)")
     common(p, data=True)
     p.add_argument("--out", default="outputs")
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="frames in flight before each readback (0 = fully "
+                        "synchronous; 2 hides the host round trip)")
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("bench", help="steady-state ms/frame")
