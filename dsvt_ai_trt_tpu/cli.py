@@ -66,11 +66,16 @@ def cmd_infer(args):
     cfg = _load_cfg(args)
     enable_persistent_cache()
     params = _load_params(args, cfg)
-    engine = Engine(params, cfg, args.engine,
-                    with_nms=not args.host_nms).warmup()
     paths = frame_paths(args.data)
     if args.frames:
         paths = paths[: args.frames]
+    if args.scan_batch:
+        from .runtime.infer import run_frames_scan
+        run_frames_scan(params, cfg, paths, args.out,
+                        batch=args.scan_batch, host_nms=args.host_nms)
+        return
+    engine = Engine(params, cfg, args.engine,
+                    with_nms=not args.host_nms).warmup()
     run_frames(engine, paths, args.out, host_nms=args.host_nms,
                pipeline_depth=args.pipeline_depth)
 
@@ -257,6 +262,9 @@ def main(argv=None):
     p.add_argument("--pipeline-depth", type=int, default=2,
                    help="frames in flight before each readback (0 = fully "
                         "synchronous; 2 hides the host round trip)")
+    p.add_argument("--scan-batch", type=int, default=0,
+                   help="throughput mode: N frames per lax.scan dispatch "
+                        "(bench.py's headline path; 0 = per-frame stream)")
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("bench", help="steady-state ms/frame")

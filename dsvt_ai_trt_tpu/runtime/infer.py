@@ -128,6 +128,73 @@ def run_frames(engine: Engine, paths: List[str], out_dir: Optional[str] = None,
     return results
 
 
+def run_frames_scan(params, cfg, paths: List[str],
+                    out_dir: Optional[str] = None, batch: int = 10,
+                    host_nms: bool = False) -> List[dict]:
+    """Throughput mode: frames grouped into lax.scan batches — ONE device
+    dispatch per `batch` frames (model.detector.forward_scan), amortizing
+    the per-dispatch host round trip that dominates tunneled runtimes.
+    This is bench.py's headline path (~13.2 ms/frame vs ~13.6 streaming on
+    v5e).  The tail group is padded by repeating the last frame; padded
+    outputs are discarded.  Result txts are identical to run_frames' (the
+    per-frame `seconds` is the group wall time / group size).
+    """
+    import jax.numpy as jnp
+
+    from ..model.detector import forward_scan
+
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    results: List[dict] = []
+    staged = []
+    for p in paths:
+        try:
+            pts, n = load_bin(p, cfg.max_points)
+        except (IOError, ValueError) as exc:
+            log.error("skipping bad frame %s: %s", p, exc)
+            results.append({"frame": os.path.splitext(os.path.basename(p))[0],
+                            "error": str(exc)})
+            continue
+        staged.append((p, pts, n))
+    if not staged:
+        return results
+
+    params_d = jax.device_put(params)
+    run_b = jax.jit(lambda bp, bn: forward_scan(params_d, bp, bn, cfg,
+                                                not host_nms))
+    # compile off the clock (Engine.warmup's convention): the scan program
+    # is its own compilation, ~60-120 s cold on the tunneled chip
+    wz = run_b(jnp.zeros((batch, cfg.max_points, 4), jnp.float32),
+               jnp.zeros((batch,), jnp.int32))
+    np.asarray(wz.count)
+
+    for lo in range(0, len(staged), batch):
+        group = staged[lo:lo + batch]
+        pad = batch - len(group)
+        padded = group + [group[-1]] * pad
+        bp = jnp.stack([p for _, p, _ in padded])
+        bn = jnp.stack([jnp.asarray(n) for _, _, n in padded])
+        t0 = time.perf_counter()
+        dets = run_b(bp, bn)
+        boxes_b, count_b = jax.device_get((dets.boxes, dets.count))
+        seconds = (time.perf_counter() - t0) / batch
+        for i, (path, _, _) in enumerate(group):
+            boxes, count = boxes_b[i], int(count_b[i])
+            if host_nms:
+                from ..io.host_nms import nms_host
+                boxes, count = nms_host(boxes, count, cfg.nms_threshold)
+            name = os.path.splitext(os.path.basename(path))[0]
+            if out_dir:
+                save_txt(boxes, count, seconds,
+                         os.path.join(out_dir, name + ".txt"))
+            log.info("%s: %d boxes, %.1f ms (scan batch %d)", name, count,
+                     seconds * 1e3, batch)
+            results.append({"frame": name, "boxes": boxes[:count],
+                            "count": count, "seconds": seconds,
+                            "saturated": []})
+    return results
+
+
 def benchmark(engine: Engine, paths: List[str], iters: int = 3) -> dict:
     """Steady-state ms/frame over the frame set (post-warmup)."""
     cfg = engine.cfg

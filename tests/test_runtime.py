@@ -61,6 +61,30 @@ def test_run_frames_writes_reference_format(tiny_cfg, rng, tmp_path):
         assert len(boxes) == r["count"]
 
 
+def test_run_frames_scan_matches_stream(tiny_cfg, rng, tmp_path):
+    """The lax.scan throughput path (one dispatch per batch, tail padded
+    by repetition) must produce the same boxes as the per-frame engine
+    loop — separate compilations, so rows compare with fp tolerance."""
+    from dsvt_ai_trt_tpu.runtime.infer import run_frames_scan
+
+    cfg = tiny_cfg
+    params = weights.random_params(cfg, seed=4)
+    engine = Engine(params, cfg, with_nms=True).warmup()
+    paths = _write_frames(tmp_path, rng, cfg)
+    stream = run_frames(engine, paths)
+    # batch 3 > 2 frames: exercises the tail-padding path too
+    scan = run_frames_scan(params, cfg, paths, str(tmp_path / "scan_out"),
+                           batch=3)
+    assert [r["frame"] for r in scan] == [r["frame"] for r in stream]
+    for rs, rt in zip(scan, stream):
+        assert rs["count"] == rt["count"]
+        a, b = np.asarray(rs["boxes"]), np.asarray(rt["boxes"])
+        np.testing.assert_allclose(a[np.lexsort(a.T)], b[np.lexsort(b.T)],
+                                   atol=2e-3, rtol=2e-3)
+        txt = os.path.join(str(tmp_path / "scan_out"), rs["frame"] + ".txt")
+        assert os.path.exists(txt)
+
+
 @pytest.mark.slow
 def test_run_frames_host_nms_matches_device_counts(tiny_cfg, rng, tmp_path):
     """Device NMS and host NMS must agree on the kept box set."""
