@@ -188,14 +188,14 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
 
     # per-pillar counts and cluster means WITHOUT a row-serial scatter-add
     # (the [P1, 5] .at[].add traced 1.17 ms at Waymo's P1=140K, ~8 ns/row):
-    # a segmented Hillis-Steele inclusive sum over four rank-1 streams.
+    # a segmented Hillis-Steele inclusive sum over three rank-1 streams.
     # Segment runs are <= CAP = 48 rows by construction, so SIX shift-add
     # passes (2^6 = 64 >= 48) complete every segment; rank-1 streams keep
     # full 128-lane tiles (the earlier Pallas [P1, 5] scan lost to 26x lane
     # padding — that note still holds for 2-D narrow arrays).
     rank_c = pos - jax.lax.cummax(jnp.where(new_pillar, pos, 0))
-    streams = [jnp.where(kept, 1.0, 0.0), jnp.where(kept, sx, 0.0),
-               jnp.where(kept, sy, 0.0), jnp.where(kept, sz, 0.0)]
+    streams = [jnp.where(kept, sx, 0.0), jnp.where(kept, sy, 0.0),
+               jnp.where(kept, sz, 0.0)]
     for s in (1, 2, 4, 8, 16, 32):
         take = rank_c >= s
         streams = [v + jnp.where(
@@ -206,19 +206,21 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
     # ends[p] = starts[p+1] - 1 with the all-valid prefix as the backstop
     starts_all = jnp.sort(jnp.where(new_pillar, pos, jnp.int32(P1)))
     n_rows = jnp.sum(s_valid.astype(jnp.int32))
+    starts_c = jnp.clip(starts_all[:P], 0, P1 - 1)
     ends_c = jnp.clip(jnp.minimum(starts_all[1:P + 1], n_rows) - 1,
                       0, P1 - 1)
     totals = [jnp.where(pillar_valid, jnp.take(v, ends_c), 0.0)
-              for v in streams]                              # 4 x [P]
-    counts = jnp.concatenate([totals[0], jnp.zeros((1,), jnp.float32)])
-    means = jnp.stack(totals[1:4], axis=1) / jnp.maximum(
-        totals[0][:, None], 1.0)
+              for v in streams]                              # 3 x [P]
+    # counts need no scan stream: a pillar's rows are contiguous in the
+    # compacted stream, so its size is just ends - starts + 1
+    cnt = jnp.where(pillar_valid,
+                    (ends_c - starts_c + 1).astype(jnp.float32), 0.0)
+    counts = jnp.concatenate([cnt, jnp.zeros((1,), jnp.float32)])
+    means = jnp.stack(totals, axis=1) / jnp.maximum(cnt[:, None], 1.0)
     means = jnp.concatenate([means, jnp.zeros((1, 3), jnp.float32)])
     # registry cell id: direct head gather (the old scatter carried it as a
     # 5th add column)
-    coords_flat = jnp.where(
-        pillar_valid, jnp.take(s_cell, jnp.clip(starts_all[:P], 0, P1 - 1)),
-        0)
+    coords_flat = jnp.where(pillar_valid, jnp.take(s_cell, starts_c), 0)
     m = means[point_pillar]
     coords = jnp.stack([coords_flat // gx, coords_flat % gx], axis=-1)  # (iy, ix)
     coords = jnp.where(pillar_valid[:, None], coords, 0)
