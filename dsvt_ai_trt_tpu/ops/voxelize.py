@@ -201,27 +201,40 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
         streams = [v + jnp.where(
             take, jnp.concatenate([jnp.zeros((s,), v.dtype), v[:-s]]), 0.0)
             for v in streams]
-    # segment totals sit at each pillar's LAST row; head positions compact
-    # to pillar order through one 1-operand sort (heads are ascending), and
-    # ends[p] = starts[p+1] - 1 with the all-valid prefix as the backstop
+    # segment totals sit at each pillar's LAST row.  Propagate that end
+    # value to EVERY row by binary pointer-jumping over the distance-to-end
+    # (6 synchronous rounds, descending powers; bit-exact — each row ends
+    # holding v[end], the same f32 value a table gather would read), which
+    # deletes both the [P] ends-gathers and the [P1]-row means[point_pillar]
+    # broadcast gather the table formulation paid.
+    nxt_cell = jnp.concatenate([s_cell[1:], jnp.full((1,), -1, s_cell.dtype)])
+    last_of = s_valid & (s_cell != nxt_cell)
+    rank_rev = (pos - jax.lax.cummax(
+        jnp.where(last_of[::-1], pos, 0)))[::-1]
+    dist = rank_rev
+    for s in (32, 16, 8, 4, 2, 1):
+        take = dist >= s
+        streams = [jnp.where(
+            take, jnp.concatenate([v[s:], jnp.zeros((s,), v.dtype)]), v)
+            for v in streams]
+        dist = dist - s * take
+    # per-point segment size from the rank extents (no scan stream needed)
+    cnt_row = (rank_c + rank_rev + 1).astype(jnp.float32)
+    m = jnp.stack(streams, axis=-1) / jnp.maximum(cnt_row[:, None], 1.0)
+
+    # pillar registry tables: head positions compact to pillar order through
+    # one 1-operand sort (heads are ascending); counts are segment extents
     starts_all = jnp.sort(jnp.where(new_pillar, pos, jnp.int32(P1)))
     n_rows = jnp.sum(s_valid.astype(jnp.int32))
     starts_c = jnp.clip(starts_all[:P], 0, P1 - 1)
     ends_c = jnp.clip(jnp.minimum(starts_all[1:P + 1], n_rows) - 1,
                       0, P1 - 1)
-    totals = [jnp.where(pillar_valid, jnp.take(v, ends_c), 0.0)
-              for v in streams]                              # 3 x [P]
-    # counts need no scan stream: a pillar's rows are contiguous in the
-    # compacted stream, so its size is just ends - starts + 1
     cnt = jnp.where(pillar_valid,
                     (ends_c - starts_c + 1).astype(jnp.float32), 0.0)
     counts = jnp.concatenate([cnt, jnp.zeros((1,), jnp.float32)])
-    means = jnp.stack(totals, axis=1) / jnp.maximum(cnt[:, None], 1.0)
-    means = jnp.concatenate([means, jnp.zeros((1, 3), jnp.float32)])
     # registry cell id: direct head gather (the old scatter carried it as a
     # 5th add column)
     coords_flat = jnp.where(pillar_valid, jnp.take(s_cell, starts_c), 0)
-    m = means[point_pillar]
     coords = jnp.stack([coords_flat // gx, coords_flat % gx], axis=-1)  # (iy, ix)
     coords = jnp.where(pillar_valid[:, None], coords, 0)
 
