@@ -129,12 +129,13 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
     # gathers (generateFeatures_kernel re-derives them, cu:843-845 — same
     # rule, same values) and no [N, 8] pack+gather pass.
     sentinel = jnp.int32(gx * gy)
-    edges_z = jnp.asarray(cell_edges(zmin, vz, _gz))
-    iz = _edge_bin(z, edges_z, zmin, vz, _gz)
     # ix/iy do NOT ride: they are recoverable from the key itself
-    # (cell = iy*gx + ix), so only the z bin pays sort-network bandwidth
-    s_cell, sx, sy, sz, sw, sbz = jax.lax.sort(
-        (cell, x, y, z, points[:, 3], iz), num_keys=1, is_stable=True)
+    # (cell = iy*gx + ix); the z bin is not in the key at all, so it is
+    # re-derived AFTER compaction from the compacted z column (P1 rows
+    # instead of an N-row gather plus two sort operands — same rule on
+    # bit-identical values)
+    s_cell, sx, sy, sz, sw = jax.lax.sort(
+        (cell, x, y, z, points[:, 3]), num_keys=1, is_stable=True)
 
     # rank within pillar + the 48-point cap, computed on the FULL stream.
     # The cap must come before the 30000-row compaction: the reference caps
@@ -164,11 +165,13 @@ def voxelize(points: jax.Array, num_points: jax.Array, cfg: DSVTConfig) -> Pilla
     # variant also measured WORSE than the set-scatter: 0.43 vs 0.24 ms at
     # N=50K, round-3 trace.)
     key2 = jnp.where(capped, s_cell, sentinel)
-    s_cell, sx, sy, sz, sw, sbz = (
+    s_cell, sx, sy, sz, sw = (
         c[:P1] for c in jax.lax.sort(
-            (key2, sx, sy, sz, sw, sbz), num_keys=1, is_stable=True))
+            (key2, sx, sy, sz, sw), num_keys=1, is_stable=True))
     sbx = s_cell % gx
     sby = s_cell // gx
+    edges_z = jnp.asarray(cell_edges(zmin, vz, _gz))
+    sbz = _edge_bin(sz, edges_z, zmin, vz, _gz)
     s_pts = jnp.stack([sx, sy, sz, sw], axis=1)
     s_valid = s_cell != sentinel
 
