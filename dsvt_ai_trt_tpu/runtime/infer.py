@@ -176,10 +176,23 @@ def run_frames_scan(params, cfg, paths: List[str],
         bn = jnp.stack([jnp.asarray(n) for _, _, n in padded])
         t0 = time.perf_counter()
         dets = run_b(bp, bn)
-        boxes_b, count_b = jax.device_get((dets.boxes, dets.count))
+        boxes_b, count_b, occ_b = jax.device_get(
+            (dets.boxes, dets.count, dets.occupancy))
         seconds = (time.perf_counter() - t0) / batch
+        cap_names = ["max_kept_points", "max_pillars"] + [
+            f"max_sets[{i}]" for i in range(len(cfg.window_specs))]
+        caps = np.array([cfg.max_kept_points, cfg.max_pillars]
+                        + [cfg.max_sets_for(s) for s in cfg.window_specs])
         for i, (path, _, _) in enumerate(group):
             boxes, count = boxes_b[i], int(count_b[i])
+            saturated = []
+            if occ_b is not None:
+                saturated = [cap_names[j] for j in range(len(caps))
+                             if occ_b[i][j] >= caps[j]]
+                if saturated:
+                    log.warning("%s: occupancy hit static cap(s) %s — raise "
+                                "the caps (see `cli stats`)",
+                                os.path.basename(path), saturated)
             if host_nms:
                 from ..io.host_nms import nms_host
                 boxes, count = nms_host(boxes, count, cfg.nms_threshold)
@@ -191,7 +204,7 @@ def run_frames_scan(params, cfg, paths: List[str],
                      seconds * 1e3, batch)
             results.append({"frame": name, "boxes": boxes[:count],
                             "count": count, "seconds": seconds,
-                            "saturated": []})
+                            "saturated": saturated})
     return results
 
 
