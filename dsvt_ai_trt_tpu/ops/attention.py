@@ -26,10 +26,6 @@ import jax.numpy as jnp
 from .common import dot_precision
 
 
-def _maybe_bf16(x: jax.Array, precision: str) -> jax.Array:
-    return x.astype(jnp.bfloat16) if precision == "bf16" else x
-
-
 def _fused_flat_padded(qkv_p: jax.Array, inds: jax.Array, key_mask: jax.Array,
                        num_heads: int, k_pad: int,
                        interpret: bool = False) -> jax.Array:
