@@ -107,6 +107,43 @@ def test_voxelize_budget_overflow(tiny_cfg, rng):
         np.testing.assert_allclose(mine, ref_rows, atol=1e-5)
 
 
+def test_voxelize_deep_segments_full_cap(tiny_cfg, rng):
+    """cap=48 (the real configs' value) exercises the pointer-jump rounds
+    s=32 and s=16, which tiny_cfg's cap=8 never reaches: a 48-row segment
+    must still get the bit-exact end-total copied to every row (means)."""
+    import dataclasses
+    cfg = dataclasses.replace(tiny_cfg, max_points_per_pillar=48)
+    buf = np.zeros((cfg.max_points, 4), np.float32)
+    m = 60  # one dense cell (over-cap) + a couple of small ones
+    buf[:m, 0] = 0.05
+    buf[:m, 1] = 0.05
+    buf[:m, 2] = np.linspace(-1, 1, m)
+    buf[:m, 3] = np.arange(m)
+    buf[m] = [1.1, 1.1, 0.0, 1.0]
+    buf[m + 1] = [-2.1, 3.3, 0.5, 2.0]
+    n = m + 2
+    out = voxelize(buf, np.int32(n), cfg)
+    ref = oracles.voxelize_oracle(buf, n, cfg)
+    count = int(out.pillar_count)
+    assert count == len(ref["cells"]) == 3
+    num_points = np.asarray(out.num_points)
+    assert sorted(num_points[:count].tolist()) == sorted(
+        len(v) for v in ref["pillar_points"].values())
+    feats = np.asarray(out.point_feats)
+    point_pillar = np.asarray(out.point_pillar)
+    point_valid = np.asarray(out.point_valid)
+    coords = np.asarray(out.coords)
+    ref_by_cell = {tuple(ref["coords"][p]): ref["feats"][p]
+                   for p in range(count)}
+    for p in range(count):
+        mine = feats[(point_pillar == p) & point_valid]
+        ref_rows = ref_by_cell[tuple(coords[p])]
+        assert mine.shape == ref_rows.shape
+        np.testing.assert_allclose(mine[np.lexsort(mine.T)],
+                                   ref_rows[np.lexsort(ref_rows.T)],
+                                   atol=1e-5)
+
+
 def test_points_out_of_range_dropped(tiny_cfg):
     cfg = tiny_cfg
     buf = np.zeros((cfg.max_points, 4), np.float32)
