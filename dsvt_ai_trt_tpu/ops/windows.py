@@ -210,11 +210,12 @@ def set_partition(part: WindowPartition, pillar_valid: jax.Array,
     ], axis=1)                                                      # [W+1, 4]
 
     def canon_for(order):
-        # one [P, 2] row scatter for (sorted position, window rank) instead
-        # of two column scatters (latency-bound per op)
-        inv = jnp.zeros((P, 2), jnp.int32).at[order].set(
-            jnp.stack([pos, win_rank_safe], axis=1))
-        inv_rank, wr = inv[:, 0], inv[:, 1]
+        # inverse permutation via a payload-carrying sort, not a [P, 2] row
+        # scatter: order is a permutation, so sorting (order, pos, wr)
+        # lands each sorted position and window rank at its pillar's row —
+        # TPU scatters are row-serial while the sort network is vectorized
+        _, inv_rank, wr = jax.lax.sort((order, pos, win_rank_safe),
+                                       num_keys=1)
         row = win_tbl[wr]                                           # [P, 4]
         r = inv_rank - row[:, 0]
         mflat = (r * row[:, 2] + row[:, 1] - 1) // row[:, 1]
