@@ -123,11 +123,12 @@ def _attn_kernel_pairs(qkv_ref, valid_ref, out_ref, *, num_heads: int,
     out_ref[:] = (o * r).astype(out_ref.dtype)
 
 
-def _block_sets(S: int, limit: int = 40) -> int:
+def _block_sets(S: int, limit: int = 32) -> int:
     """Largest multiple-of-8 divisor of S that is <= limit (the mask block's
     second-to-last dim must be 8-divisible for the Mosaic tiler; the limit
     bounds the kernel's live VMEM — 64-set blocks at Waymo's S=1024 put the
-    scoped stack at 21 MB vs the 16 MB limit, 40 is measured-safe)."""
+    scoped stack at 21 MB vs the 16 MB limit; 32 traced marginally ahead of
+    40 at the K=40/G=1 geometry and is safe at both configs)."""
     for cand in range(min(limit, S) - min(limit, S) % 8, 0, -8):
         if S % cand == 0:
             return cand

@@ -125,7 +125,7 @@ def test_padded_k_flat_path_matches_dpa(rng):
 
 
 def test_block_divisor_rules():
-    assert _block_sets(800) == 40        # multiple of 8, divides 800, <= 40
+    assert _block_sets(800) == 32        # multiple of 8, divides 800, <= 32
     assert _block_sets(1024) == 32       # VMEM-bounded (Waymo shapes)
     assert _block_sets(8) == 8
     assert _block_sets(7) == 0           # no aligned divisor -> unsupported
