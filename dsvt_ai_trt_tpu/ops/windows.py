@@ -136,14 +136,22 @@ def set_partition(part: WindowPartition, pillar_valid: jax.Array,
     W = min(P, spec.num_windows(cfg.sparse_shape)[0]
             * spec.num_windows(cfg.sparse_shape)[1])
     win_rank_safe = jnp.where(s_valid & (win_rank < W), win_rank, W)
-    # (start | size) in ONE [W+1, 2] scatter-add: the start column has a
-    # single contributor per window (its new_win head), so add == max —
-    # the same one-scatter trick as the voxelizer's registry column
-    contrib = jnp.stack([jnp.where(new_win, pos, 0),
-                         s_valid.astype(jnp.int32)], axis=1)
-    acc = jnp.zeros((W + 1, 2), jnp.int32).at[win_rank_safe].add(
-        contrib, mode="drop", indices_are_sorted=True)
-    win_start, win_size = acc[:, 0], acc[:, 1]
+    # (start, size) from segment EXTENTS, not a [W+1, 2] scatter-add: head
+    # positions sort into window-rank order (heads ascend with position),
+    # and a window's size is just the gap to the next head, clipped at the
+    # valid-row count — the same sort-over-scatter + extent tricks as the
+    # voxelizer's registry (TPU scatters are row-serial).  Ranks past
+    # win_count get start = P (sort sentinel) and size 0; the one consumer
+    # of out-of-count starts (src_pos for invalid sets) clamps and is
+    # masked to the dump index anyway.
+    starts_w = jnp.concatenate(
+        [jnp.sort(jnp.where(new_win, pos, jnp.int32(P))),
+         jnp.full((1,), P, jnp.int32)])                       # [P + 1]
+    n_valid_rows = jnp.sum(s_valid.astype(jnp.int32))
+    win_start = starts_w[:W + 1]
+    nxt_start = starts_w[1:W + 2]
+    win_size = jnp.maximum(
+        jnp.minimum(nxt_start, n_valid_rows) - win_start, 0)
 
     # set allocation: ceil(N/K) sets per window, laid out window-major
     # (getLocalIndex_kernel, getSet.cu:335-349 — ours is deterministic where
