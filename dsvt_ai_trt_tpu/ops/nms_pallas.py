@@ -30,6 +30,22 @@ TB = 128   # b-boxes per tile (lanes)
 
 
 def _overlap_kernel(a_ref, b_ref, out_ref):
+    # STRICT-UPPER-TRIANGLE contract: greedy NMS only reads overlap[a, b]
+    # for a < b (the suppression mask is idx[:,None] < idx[None,:],
+    # ops/nms.py), so tiles entirely below the diagonal skip the whole
+    # clip pipeline and write zeros — 37% of tiles at the top_k=500 grid.
+    below = pl.program_id(0) >= (TB // TA) * (pl.program_id(1) + 1)
+
+    @pl.when(below)
+    def _zero():
+        out_ref[:, :] = jnp.zeros((TA, TB), jnp.float32)
+
+    @pl.when(jnp.logical_not(below))
+    def _compute():
+        _overlap_tile(a_ref, b_ref, out_ref)
+
+
+def _overlap_tile(a_ref, b_ref, out_ref):
     ax = [a_ref[:, e][:, None] for e in range(4)]        # each [TA, 1]
     ay = [a_ref[:, 4 + e][:, None] for e in range(4)]
     bx = [b_ref[e, :][None, :] for e in range(4)]        # each [1, TB]
@@ -98,7 +114,9 @@ def _overlap_kernel(a_ref, b_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pairwise_overlap_pallas(boxes: jax.Array, interpret: bool = False) -> jax.Array:
-    """[N, 9] score-sorted boxes -> [N, N] exact intersection areas."""
+    """[N, 9] score-sorted boxes -> [N, N] exact intersection areas on the
+    strict upper triangle (a < b); entries in tiles fully below the
+    diagonal are 0 (greedy NMS never reads them)."""
     n = boxes.shape[0]
     pad_a = (-n) % TA
     pad_b = (-n) % TB

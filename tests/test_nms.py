@@ -98,7 +98,25 @@ def test_pallas_overlap_matches_clip(rng):
         boxes[c + 1:c + 4, :2] = boxes[c, :2] + rng.uniform(-0.6, 0.6, (3, 2))
     ref = np.asarray(pairwise_overlap_clip(jnp.asarray(boxes)))
     got = np.asarray(pairwise_overlap_pallas(jnp.asarray(boxes), interpret=True))
-    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+    # the kernel's contract is the strict upper triangle (all NMS reads);
+    # below-diagonal TILES are zero-skipped
+    iu = np.triu_indices(n, 1)
+    np.testing.assert_allclose(got[iu], ref[iu], atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_pallas_overlap_triangle_skip(rng):
+    """A grid big enough to have fully-below-diagonal tiles (n > 128):
+    upper triangle exact, skipped tiles zero."""
+    from dsvt_ai_trt_tpu.ops.nms import pairwise_overlap_clip
+    from dsvt_ai_trt_tpu.ops.nms_pallas import pairwise_overlap_pallas
+    n = 200
+    boxes = _random_boxes(rng, n)
+    ref = np.asarray(pairwise_overlap_clip(jnp.asarray(boxes)))
+    got = np.asarray(pairwise_overlap_pallas(jnp.asarray(boxes), interpret=True))
+    iu = np.triu_indices(n, 1)
+    np.testing.assert_allclose(got[iu], ref[iu], atol=1e-4, rtol=1e-4)
+    assert np.all(got[144:, :128] == 0.0)  # tiles with i >= 16*(j+1)
 
 
 def test_nms_non_divisible_k_matches_oracle(rng):
