@@ -209,7 +209,11 @@ def run_frames_scan(params, cfg, paths: List[str],
 
 
 def benchmark(engine: Engine, paths: List[str], iters: int = 3) -> dict:
-    """Steady-state ms/frame over the frame set (post-warmup)."""
+    """Steady-state ms/frame over the frame set (post-warmup), measured at
+    the deployment convention: depth-2 pipeline with async D2H result
+    copies (identical to run_frames — a sync readback per frame would
+    measure the tunnel round trip, not the engine; see bench.py for the
+    full surface set)."""
     cfg = engine.cfg
     staged = [load_bin(p, cfg.max_points) for p in paths]
     staged = [(jax.device_put(p), n) for p, n in staged]
@@ -217,11 +221,23 @@ def benchmark(engine: Engine, paths: List[str], iters: int = 3) -> dict:
     # one pass to compile/warm every shape (sync via readback: see bench.py)
     for pts, n in staged:
         np.asarray(engine(pts, n).count)
+
+    def dispatch(pts, n):
+        d = engine(pts, n)
+        d.boxes.copy_to_host_async()
+        d.count.copy_to_host_async()
+        return d
+
     t0 = time.perf_counter()
     for _ in range(iters):
+        inflight = []
         for pts, n in staged:
-            dets = engine(pts, n)
-            jax.device_get((dets.boxes, dets.count))
+            inflight.append(dispatch(pts, n))
+            if len(inflight) > 2:
+                d = inflight.pop(0)
+                jax.device_get((d.boxes, d.count))
+        for d in inflight:
+            jax.device_get((d.boxes, d.count))
     dt = time.perf_counter() - t0
     ms = dt / (iters * len(staged)) * 1e3
     return {"ms_per_frame": ms, "frames": len(staged), "iters": iters}
