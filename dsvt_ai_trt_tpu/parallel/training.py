@@ -63,10 +63,29 @@ def detection_loss(params, points, num_points, targets: Targets,
 
 
 def batched_loss(params, points, num_points, targets: Targets,
-                 cfg: DSVTConfig) -> jax.Array:
-    per_frame = jax.vmap(
-        lambda p, n, t: detection_loss(params, p, n, t, cfg))(
-        points, num_points, targets)
+                 cfg: DSVTConfig, remat: bool = None) -> jax.Array:
+    # remat + SEQUENTIAL frames on TPU: jax.checkpoint makes the backward
+    # recompute each frame's forward instead of storing every stage
+    # activation, and lax.map (not vmap) keeps only ONE frame's graph live
+    # at a time — vmapped batch-2 full-config frames OOM'd the 16 GB v5e
+    # chip even with remat (15.86 G requested; 16.01 G without).  The
+    # standard TPU memory/FLOPs trade: the forward is ~1/3 of the training
+    # step's FLOPs, and single-chip batching is dispatch amortization, not
+    # parallelism (multi-chip DP shards frames across chips instead,
+    # parallel/mesh.py).  CPU (the test suite) keeps the vmap form, which
+    # is ~5x faster to trace/run at tiny configs; equivalence is pinned by
+    # test_training.py.
+    if remat is None:
+        remat = jax.default_backend() == "tpu"
+    if remat:
+        per_frame = jax.lax.map(
+            jax.checkpoint(lambda pnt: detection_loss(
+                params, pnt[0], pnt[1], pnt[2], cfg)),
+            (points, num_points, targets))
+    else:
+        per_frame = jax.vmap(
+            lambda p, n, t: detection_loss(params, p, n, t, cfg))(
+            points, num_points, targets)
     return jnp.mean(per_frame)
 
 

@@ -76,6 +76,26 @@ def test_loss_decreases_on_planted_scenes(tiny_cfg):
     assert np.isfinite(losses).all()
 
 
+def test_remat_loss_and_grads_match_vmap(tiny_cfg):
+    """The TPU training path (lax.map + jax.checkpoint, required to fit
+    batch 2 in 16 GB HBM) must produce the same loss AND gradients as the
+    vmap form the CPU suite runs."""
+    from dsvt_ai_trt_tpu.parallel.training import batched_loss
+
+    cfg = tiny_cfg
+    params = weights.random_params(cfg, seed=1)
+    rng = np.random.default_rng(1)
+    pts, ns, targets = synthetic_batch(rng, cfg, 2, n_objects=2,
+                                       n_ground=200, pts_per_obj=30)
+    f_vmap = lambda p: batched_loss(p, pts, ns, targets, cfg, remat=False)
+    f_remat = lambda p: batched_loss(p, pts, ns, targets, cfg, remat=True)
+    l0, g0 = jax.value_and_grad(f_vmap)(params)
+    l1, g1 = jax.value_and_grad(f_remat)(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3), g0, g1)
+
+
 @pytest.mark.slow
 def test_train_state_checkpoint_roundtrip(tiny_cfg, tmp_path):
     cfg = tiny_cfg
