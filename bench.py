@@ -184,23 +184,6 @@ def main():
 
     best = min(stream_ms, batch_ms)
 
-    # trace-derived DEVICE times: per-dispatch device ms + per-stage table
-    # attributed by HLO source metadata (runtime/trace.py).  The table sums
-    # to ~device_ms and ranks hot spots for real; the old sync-per-stage
-    # timers (runtime/profiler.py) carried one tunnel RTT per entry.
-    device_ms = stages_dev = top_ops = None
-    if os.environ.get("DSVT_BENCH_TRACE", "1") == "1":
-        try:
-            from dsvt_ai_trt_tpu.runtime.trace import capture
-
-            prof = capture(engine, frames[0], iters=8)
-            device_ms = round(prof.device_ms_per_iter, 3)
-            stages_dev = prof.stage_ms()
-            top_ops = {r["name"]: r["ms"] for r in prof.top_ops(5)}
-        except Exception as exc:  # trace capture is best-effort
-            import logging
-            logging.getLogger("bench").warning("trace capture failed: %s", exc)
-
     # FLOPs / MFU from XLA cost analysis of the fused program
     mfu = flops_g = mfu_device = None
     from dsvt_ai_trt_tpu.runtime.profiler import (program_flops,
@@ -215,11 +198,33 @@ def main():
         flops_g = round(total_flops / 1e9, 1)
         if peak:
             mfu = round(total_flops / (best / 1e3) / peak, 4)
-            if device_ms:
-                mfu_device = round(total_flops / (device_ms / 1e3) / peak, 4)
 
-    # Waymo-density stretch in the same artifact (VERDICT r2 task 4)
-    waymo_ms = None
+    # trace-derived DEVICE times: per-dispatch device ms + per-stage table
+    # attributed by HLO source metadata (runtime/trace.py).  The table sums
+    # to ~device_ms and ranks hot spots for real; the old sync-per-stage
+    # timers (runtime/profiler.py) carried one tunnel RTT per entry.
+    # stage_mfu is the per-stage roofline (device ms, XLA-counted GFLOP,
+    # fraction of bf16 peak) — the adjudicator for any stage-MFU claim.
+    device_ms = stages_dev = top_ops = stage_mfu = None
+    if os.environ.get("DSVT_BENCH_TRACE", "1") == "1":
+        try:
+            from dsvt_ai_trt_tpu.runtime.trace import capture
+
+            prof = capture(engine, frames[0], iters=8)
+            device_ms = round(prof.device_ms_per_iter, 3)
+            stages_dev = prof.stage_ms()
+            top_ops = {r["name"]: r["ms"] for r in prof.top_ops(5)}
+            stage_mfu = prof.stage_table(peak)
+            if total_flops and peak:
+                mfu_device = round(total_flops / (device_ms / 1e3) / peak, 4)
+        except Exception as exc:  # trace capture is best-effort
+            import logging
+            logging.getLogger("bench").warning("trace capture failed: %s", exc)
+
+    # Waymo-density stretch in the same artifact (VERDICT r2 task 4); the
+    # trace runs on the SAME engine so the ~7 ms delta vs nuScenes is
+    # attributed stage by stage, not just a scalar (VERDICT r3 task 2)
+    waymo_ms = waymo_device_ms = waymo_stages = None
     if waymo:
         wcfg = dataclasses.replace(WAYMO_CONFIG, precision=cfg.precision,
                                    approx_topk=cfg.approx_topk)
@@ -231,6 +236,17 @@ def main():
         for pts, n in wframes:
             np.asarray(wengine(pts, n).count)
         waymo_ms = round(stream_ms_per_frame(wengine, wframes, max(iters // 2, 2)), 3)
+        if os.environ.get("DSVT_BENCH_TRACE", "1") == "1":
+            try:
+                from dsvt_ai_trt_tpu.runtime.trace import capture
+
+                wprof = capture(wengine, wframes[0], iters=6)
+                waymo_device_ms = round(wprof.device_ms_per_iter, 3)
+                waymo_stages = wprof.stage_table(peak)
+            except Exception as exc:
+                import logging
+                logging.getLogger("bench").warning(
+                    "waymo trace capture failed: %s", exc)
 
     result = {
         "metric": "ms/frame end-to-end",
@@ -243,10 +259,13 @@ def main():
         "batch_ms_per_frame": round(batch_ms, 3),
         "batch_size": bsz,
         "waymo_ms": waymo_ms,
+        "waymo_device_ms": waymo_device_ms,
+        "waymo_stages": waymo_stages,
         "precision": cfg.precision,
         "approx_topk": cfg.approx_topk,
         "device_ms_per_frame": device_ms,
         "stages_device_ms": stages_dev,
+        "stage_mfu": stage_mfu,
         "top_ops_device_ms": top_ops,
         "flops_g": flops_g,
         "mfu": mfu,

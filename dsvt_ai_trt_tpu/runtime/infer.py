@@ -208,12 +208,13 @@ def run_frames_scan(params, cfg, paths: List[str],
     return results
 
 
-def benchmark(engine: Engine, paths: List[str], iters: int = 3) -> dict:
+def benchmark(engine: Engine, paths: List[str], iters: int = 3,
+              pipeline_depth: int = 2) -> dict:
     """Steady-state ms/frame over the frame set (post-warmup), measured at
-    the deployment convention: depth-2 pipeline with async D2H result
-    copies (identical to run_frames — a sync readback per frame would
-    measure the tunnel round trip, not the engine; see bench.py for the
-    full surface set)."""
+    the deployment convention: depth-``pipeline_depth`` pipeline with async
+    D2H result copies (identical to run_frames — a sync readback per frame
+    would measure the tunnel round trip, not the engine; see bench.py for
+    the full surface set)."""
     cfg = engine.cfg
     staged = [load_bin(p, cfg.max_points) for p in paths]
     staged = [(jax.device_put(p), n) for p, n in staged]
@@ -233,7 +234,7 @@ def benchmark(engine: Engine, paths: List[str], iters: int = 3) -> dict:
         inflight = []
         for pts, n in staged:
             inflight.append(dispatch(pts, n))
-            if len(inflight) > 2:
+            if len(inflight) > pipeline_depth:
                 d = inflight.pop(0)
                 jax.device_get((d.boxes, d.count))
         for d in inflight:

@@ -126,12 +126,13 @@ def _sync(tree) -> None:
 def profile_stages(params, points, num_points, cfg, iters: int = 10) -> StageTimer:
     """Time each pipeline stage separately (each stage jitted on its own).
 
-    Each stage syncs via a host readback of its own output, so timings
-    include one ~tunnel round trip but cannot be faked by async dispatch.
-    Inter-stage fusion is lost, so the sum exceeds the fused end-to-end
-    time; use for relative hot-spot ranking.  Returns the StageTimer
-    (``.report()`` for text, ``.summary()`` for the dict); per-stage FLOPs
-    from XLA cost analysis land in ``timer.flops``.
+    SUPERSEDED by ``runtime/trace.py`` for any quotable number: each stage
+    here syncs via a host readback of its own output, so on the tunneled
+    axon runtime every entry carries a ~28 ms RTT, and inter-stage fusion
+    is lost (the sum exceeds the fused end-to-end time).  Kept as a
+    debugging aid for isolating one stage under a debugger; for per-stage
+    device time use ``trace.capture`` (bench.py emits its table).  The
+    per-stage FLOPs from XLA cost analysis (``timer.flops``) remain valid.
     """
     from ..ops.voxelize import voxelize
     from ..ops.windows import window_partition, set_partition
