@@ -196,6 +196,9 @@ def parse_trace(logdir: str, n_iters: int,
             "category": args.get("hlo_category", ""),
             "source": args.get("source", ""),
             "flops": 0.0,
+            # the HLO text incl. operand shapes/layouts — the first thing
+            # to check when an op is slow (layout demotions show up here)
+            "long_name": args.get("long_name", "")[:600],
         })
         row["ms"] += e["dur"] / 1e3
         row["calls"] += 1
