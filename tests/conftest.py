@@ -20,10 +20,32 @@ from dsvt_ai_trt_tpu.runtime.compile import enable_persistent_cache
 
 enable_persistent_cache("~/.cache/dsvt_tpu_xla_tests")
 
+import time
+
 import numpy as np
 import pytest
 
 from dsvt_ai_trt_tpu.config import DSVTConfig, WindowSpec
+
+# Fast-suite wall-clock budget (seconds), enforced as a loud warning: CI
+# environments are COLD-cache, so the budget is judged against a cold run
+# (`rm -rf ~/.cache/dsvt_tpu_xla_tests`).  Keep `-m "not slow"` under this
+# by demoting full-detector compiles to slow, not by deleting coverage.
+FAST_BUDGET_S = 240
+_t_session = time.time()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    dt = time.time() - _t_session
+    markexpr = getattr(session.config.option, "markexpr", "") or ""
+    if "not slow" in markexpr and dt > FAST_BUDGET_S:
+        import warnings
+        warnings.warn(
+            f"fast suite took {dt:.0f}s > {FAST_BUDGET_S}s budget "
+            f"(cold-cache CI target; demote new detector-compile tests "
+            f"to @pytest.mark.slow)", stacklevel=0)
+        print(f"\nWARNING: fast suite {dt:.0f}s exceeds the "
+              f"{FAST_BUDGET_S}s cold-CI budget")
 
 
 def tiny_config() -> DSVTConfig:

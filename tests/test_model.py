@@ -51,6 +51,7 @@ def test_debug_stage_shapes(tiny_cfg, rng):
     assert out.head_out["dim"].shape == (H, W, 3)
 
 
+@pytest.mark.slow  # 13 s cold; cross-precision parity gates run on TPU every round (bench parity block)
 def test_bf16_path_close_to_fp32(tiny_cfg, rng):
     import dataclasses
     cfg = tiny_cfg

@@ -21,6 +21,7 @@ def _random_boxes(rng, n):
     return boxes
 
 
+@pytest.mark.slow  # 13 s cold; subsumed by test_nms_matches_oracle end to end
 def test_pairwise_overlap_matches_oracle(rng):
     n = 24
     boxes = _random_boxes(rng, n)
@@ -119,6 +120,7 @@ def test_pallas_overlap_triangle_skip(rng):
     assert np.all(got[144:, :128] == 0.0)  # tiles with i >= 16*(j+1)
 
 
+@pytest.mark.slow  # 24 s cold; the divisible-K oracle gate stays in the fast suite
 def test_nms_non_divisible_k_matches_oracle(rng):
     """K with no divisor <=64 (prime) must stay fast AND exact: the chunked
     suppression pads K up to a multiple of the chunk size."""

@@ -18,6 +18,7 @@ def mesh8():
     return make_mesh(dp=4, mp=2)
 
 
+@pytest.mark.slow  # 42 s cold; the per-round dryrun_multichip also exercises dp equality
 def test_dp_engine_matches_single_device(tiny_cfg, rng, mesh8):
     cfg = tiny_cfg
     params = weights.random_params(cfg, seed=2)

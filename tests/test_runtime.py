@@ -45,6 +45,7 @@ def test_engine_serialization_roundtrip(tiny_cfg, rng, tmp_path):
     assert len(blob) > 1000
 
 
+@pytest.mark.slow  # 44 s cold; io format pinned by test_io, CLI driven by /verify + bench each round
 def test_run_frames_writes_reference_format(tiny_cfg, rng, tmp_path):
     cfg = tiny_cfg
     params = weights.random_params(cfg, seed=4)
@@ -61,6 +62,7 @@ def test_run_frames_writes_reference_format(tiny_cfg, rng, tmp_path):
         assert len(boxes) == r["count"]
 
 
+@pytest.mark.slow  # 24 s cold; scan==stream also pinned by test_scan_forward_matches_single
 def test_run_frames_scan_matches_stream(tiny_cfg, rng, tmp_path):
     """The lax.scan throughput path (one dispatch per batch, tail padded
     by repetition) must produce the same boxes as the per-frame engine
