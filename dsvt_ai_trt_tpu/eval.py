@@ -86,7 +86,11 @@ def coverage(queries: np.ndarray, pool: np.ndarray,
                 best_iou, best_j = iou, j
         if best_j >= 0:
             hit += 1
-            score_err = max(score_err, abs(float(q[8] - pool[best_j, 8])))
+            # score drift only when both sides carry a score column —
+            # GT boxes are [x,y,z,dx,dy,dz,heading,cls] (8 cols, data.py)
+            if len(q) > 8 and pool.shape[1] > 8:
+                score_err = max(score_err,
+                                abs(float(q[8] - pool[best_j, 8])))
             center_err = max(center_err,
                              float(np.linalg.norm(q[:3] - pool[best_j, :3])))
     # vacuous truth for an empty query set: nothing confident to cover

@@ -341,9 +341,13 @@ def _bn_affine(raw: Raw, prefix: str, eps: float):
 
 
 def _linear_bn(raw: Raw, lin: str, bn: str, eps: float, bias: bool = False):
-    """Fold linear (torch [out,in]) + BN1d into x @ w + b."""
-    w = raw[f"{lin}.weight"].reshape(param_shape(raw, lin))
+    """Fold linear (torch [out,in]) + BN1d into x @ w + b.
+
+    All fold helpers reshape from the BN/branch channel counts, because
+    the .wts text format stores shapeless flat blobs (gen_wts.py:86-99 —
+    the reference's loader also reshapes at the consumer, helper.h:288)."""
     scale, shift = _bn_affine(raw, bn, eps)
+    w = raw[f"{lin}.weight"].reshape(len(scale), -1)
     wf = (w * scale[:, None]).T.astype(np.float32)  # [in, out]
     bf = shift.copy()
     if bias:
@@ -351,26 +355,23 @@ def _linear_bn(raw: Raw, lin: str, bn: str, eps: float, bias: bool = False):
     return wf, bf.astype(np.float32)
 
 
-def param_shape(raw: Raw, lin: str):
-    w = raw[f"{lin}.weight"]
-    return w.shape
-
-
 def _linear(raw: Raw, prefix: str, in_dim: int):
     w = raw[f"{prefix}.weight"].reshape(-1, in_dim)
     return w.T.astype(np.float32).copy(), raw[f"{prefix}.bias"].astype(np.float32).copy()
 
 
-def _conv_bn(raw: Raw, conv: str, bn: str, eps: float):
-    """Fold OIHW conv + BN2d into HWIO conv + bias."""
-    w = raw[f"{conv}.weight"]  # [O, I, H, W]
+def _conv_bn(raw: Raw, conv: str, bn: str, eps: float, kernel=(3, 3)):
+    """Fold OIHW conv + BN2d into HWIO conv + bias (flat blobs reshaped
+    from the BN channel count + the known kernel size)."""
     scale, shift = _bn_affine(raw, bn, eps)
+    w = raw[f"{conv}.weight"].reshape(  # [O, I, H, W]
+        len(scale), -1, kernel[0], kernel[1])
     w = w * scale[:, None, None, None]
     return np.transpose(w, (2, 3, 1, 0)).astype(np.float32).copy(), shift
 
 
-def _conv_bias(raw: Raw, conv: str):
-    w = raw[f"{conv}.weight"]
+def _conv_bias(raw: Raw, conv: str, out_ch: int, kernel=(3, 3)):
+    w = raw[f"{conv}.weight"].reshape(out_ch, -1, kernel[0], kernel[1])
     return (np.transpose(w, (2, 3, 1, 0)).astype(np.float32).copy(),
             raw[f"{conv}.bias"].astype(np.float32).copy())
 
@@ -435,14 +436,16 @@ def prepare_params(raw: Raw, cfg: DSVTConfig) -> Dict:
             unit["conv2_w"], unit["conv2_b"] = _conv_bn(raw, f"{pre}.conv2", f"{pre}.bn2", cfg.bn2d_eps)
             if u == 0:
                 unit["down_w"], unit["down_b"] = _conv_bn(
-                    raw, f"{pre}.downsample_layer.0", f"{pre}.downsample_layer.1", cfg.bn2d_eps)
+                    raw, f"{pre}.downsample_layer.0", f"{pre}.downsample_layer.1", cfg.bn2d_eps,
+                    kernel=(1, 1))
             stage.append(unit)
         stages.append(stage)
     deblocks = []
     for s, (k, _stride) in enumerate(BACKBONE2D_DEBLOCK):
         pre = f"module.backbone_2d.deblocks.{s}"
-        w = raw[f"{pre}.0.weight"]  # ConvTranspose2d [in, out, k, k]
         scale, shift = _bn_affine(raw, f"{pre}.1", cfg.bn2d_eps)
+        # ConvTranspose2d [in, out, k, k]; out from the BN channel count
+        w = raw[f"{pre}.0.weight"].reshape(-1, len(scale), k, k)
         # fold BN over out channels; keep layout [in, out, k, k] for the
         # einsum-based stride==kernel upsampling in backbone2d
         w = w * scale[None, :, None, None]
@@ -452,10 +455,10 @@ def prepare_params(raw: Raw, cfg: DSVTConfig) -> Dict:
     head: Dict = {}
     head["shared_w"], head["shared_b"] = _conv_bn(
         raw, "module.dense_head.shared_conv.0", "module.dense_head.shared_conv.1", cfg.bn2d_eps)
-    for name, _c in head_branches(cfg):
+    for name, c in head_branches(cfg):
         pre = f"module.dense_head.heads_list.0.{name}"
         w0h, b0h = _conv_bn(raw, f"{pre}.0.0", f"{pre}.0.1", cfg.bn2d_eps)
-        w1h, b1h = _conv_bias(raw, f"{pre}.1")
+        w1h, b1h = _conv_bias(raw, f"{pre}.1", c)
         head[name] = {"w0": w0h, "b0": b0h, "w1": w1h, "b1": b1h}
     p["head"] = head
     return p

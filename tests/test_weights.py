@@ -117,3 +117,31 @@ def test_torch_checkpoint_loads_and_splits_qkv(tiny_cfg, tmp_path):
         np.testing.assert_array_equal(loaded[k].reshape(raw[k].shape), raw[k],
                                       err_msg=k)
     weights.prepare_params(loaded, cfg)  # must not raise
+
+
+def test_wts_export_prepares_bitexact(tiny_cfg, tmp_path):
+    """Trained-weights export chain: params -> unfold -> .wts text ->
+    load_wts -> prepare_params must reproduce the original pytree
+    BIT-exactly.  The .wts format stores shapeless flat blobs, so every
+    fold helper must reshape from channel counts (a flat conv blob
+    previously crashed prepare_params — the tools/train_run.py round
+    trip is the deployment path this pins)."""
+    import jax
+
+    from dsvt_ai_trt_tpu import weights
+
+    cfg = tiny_cfg
+    params = weights.random_params(cfg, seed=2)
+    raw = weights.unfold_params(jax.device_get(params), cfg)
+    path = str(tmp_path / "export.wts")
+    weights.save_wts(raw, path)
+    p2 = weights.prepare_params(weights.load_wts(path), cfg)
+
+    flat1 = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat2 = jax.tree_util.tree_flatten_with_path(p2)[0]
+    assert len(flat1) == len(flat2)
+    for (k1, a), (k2, b) in zip(flat1, flat2):
+        assert jax.tree_util.keystr(k1) == jax.tree_util.keystr(k2)
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            err_msg=jax.tree_util.keystr(k1))
