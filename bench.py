@@ -221,6 +221,39 @@ def main():
             import logging
             logging.getLogger("bench").warning("trace capture failed: %s", exc)
 
+    # the parity configuration's speed next to the approx headline: exact
+    # per-class top-k is the reference-semantics candidate search
+    # (hm_top_k, params.h:326); approx_max_k is the TPU fast path
+    exact_ms = None
+    if cfg.approx_topk and os.environ.get("DSVT_BENCH_EXACT", "1") == "1":
+        ecfg = dataclasses.replace(cfg, approx_topk=False)
+        eengine = Engine(params, ecfg, with_nms=True)
+        eengine.warmup()
+        for pts, n in frames:
+            np.asarray(eengine(pts, n).count)
+        exact_ms = round(stream_ms_per_frame(eengine, frames,
+                                             max(iters // 2, 2)), 3)
+
+    # machine-readable parity gate in the driver artifact (VERDICT r3
+    # task 3): the fast path vs fp32 on the calibrated checkpoint.  The
+    # full precision x density matrix lives in tools/parity_suite.py.
+    parity = None
+    if os.environ.get("DSVT_BENCH_PARITY", "1") == "1":
+        try:
+            import sys
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"))
+            from parity_check import run_parity
+
+            pfast = cfg.precision if cfg.precision != "fp32" else "bf16"
+            pres = run_parity(fast=pfast, approx=cfg.approx_topk, n_frames=2)
+            parity = {"mode": pfast, "approx_topk": cfg.approx_topk,
+                      **pres["worst"], "pass_recall": pres["pass_recall"],
+                      "ok": pres["parity_ok"]}
+        except Exception as exc:
+            import logging
+            logging.getLogger("bench").warning("parity block failed: %s", exc)
+
     # Waymo-density stretch in the same artifact (VERDICT r2 task 4); the
     # trace runs on the SAME engine so the ~7 ms delta vs nuScenes is
     # attributed stage by stage, not just a scalar (VERDICT r3 task 2)
@@ -258,6 +291,8 @@ def main():
         "stream_ms_per_frame": round(stream_ms, 3),
         "batch_ms_per_frame": round(batch_ms, 3),
         "batch_size": bsz,
+        "exact_topk_stream_ms": exact_ms,
+        "parity": parity,
         "waymo_ms": waymo_ms,
         "waymo_device_ms": waymo_device_ms,
         "waymo_stages": waymo_stages,
