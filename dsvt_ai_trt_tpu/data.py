@@ -104,16 +104,32 @@ def assign_targets(gt_boxes: np.ndarray, cfg: DSVTConfig,
 
 
 def _box_surface_points(rng, box, n: int) -> np.ndarray:
-    """Sample LiDAR-ish points on the vertical walls + top of a box."""
+    """Sample LiDAR-ish points on the vertical walls + top of a box.
+
+    Orientation must be GEOMETRICALLY resolvable or heading is
+    unlearnable: a front-back symmetric box makes theta and theta+pi
+    indistinguishable, so the (cos, sin) target is bimodal across the
+    dataset and L1 collapses toward zero (a round-4 2000-step run
+    localized every box but decoded arbitrary headings — recall stuck at
+    0.32 purely on rotated-IoU).  Density asymmetry alone (3x more front
+    points) did NOT fix it: the VFE max-pools per pillar, so point counts
+    are invisible downstream.  The fix is a shape cue that survives
+    max-pooling — the roof is a wedge rising toward +x (back at
+    mid-height, front at full height), the way real vehicles' hood/cab
+    profiles resolve the same ambiguity in per-pillar max-z."""
     x, y, z, dx, dy, dz, heading = box[:7]
     u = rng.uniform(-0.5, 0.5, n)
     v = rng.uniform(-0.5, 0.5, n)
-    face = rng.integers(0, 5, n)
+    face = rng.choice(5, n, p=[0.08, 0.26, 0.19, 0.19, 0.28])
     px = np.where(face == 0, -0.5, np.where(face == 1, 0.5, u)) * dx
     # faces 0/1 (x walls) and 4 (top) spread over v in y; u would correlate
     # with px and collapse the top face onto its diagonal
     py = np.where(face == 2, -0.5, np.where(face == 3, 0.5, v)) * dy
-    pz = np.where(face == 4, 0.5 * dz, rng.uniform(-0.5, 0.5, n) * dz)
+    # wedge roof: height 0.5*dz at the front (+x) tapering to 0 (mid) at
+    # the back; wall points clip under the same roof line
+    roof = (0.5 * (px / dx + 0.5)) * dz
+    pz = np.where(face == 4, roof,
+                  np.minimum(rng.uniform(-0.5, 0.5, n) * dz, roof))
     c, s = np.cos(heading), np.sin(heading)
     gx = x + px * c - py * s
     gy = y + px * s + py * c
@@ -140,7 +156,16 @@ def synthetic_scene(rng, cfg: DSVTConfig, n_objects: int = 6,
     boxes, clouds = [], [ground]
     for _ in range(n_objects):
         cls = int(rng.integers(0, cfg.num_classes))
-        dims = rng.uniform([1.6, 3.5, 1.4], [2.2, 5.0, 1.9])  # car-ish (w,l,h)
+        # class-dependent size template (+-7% jitter): geometry must CARRY
+        # the class signal, or classification is unlearnable by
+        # construction (a round-4 trained model localized planted boxes
+        # exactly but spread heatmap mass across all 10 classes, capping
+        # every score at ~1/num_classes-ish and failing class-aware eval).
+        # Real detection classes are separable by size/shape the same way.
+        base_l = 2.6 + 0.45 * cls
+        base = np.array([base_l * 0.42, base_l, 1.35 + 0.08 * cls],
+                        np.float32)                       # (w, l, h)
+        dims = base * rng.uniform(0.93, 1.07, 3)
         ctr = rng.uniform(lo[:2] * 0.5, hi[:2] * 0.5)
         heading = rng.uniform(-np.pi, np.pi)
         box = np.array([ctr[0], ctr[1], -1.0, dims[1], dims[0], dims[2],
