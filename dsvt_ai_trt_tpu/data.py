@@ -66,12 +66,25 @@ def _draw_gaussian(heatmap: np.ndarray, cx: int, cy: int, radius: int) -> None:
 
 
 def assign_targets(gt_boxes: np.ndarray, cfg: DSVTConfig,
-                   min_overlap: float = 0.1, min_radius: int = 2):
+                   min_overlap: float = 0.1, min_radius: int = 2,
+                   dense_reg: bool = True):
     """GT boxes [M, 8] -> (heatmap [H,W,ncls], reg [H,W,8], mask [H,W]).
 
     reg layout matches the head branch concat consumed by
     parallel.training.detection_loss: (center 2, center_z 1, log-dim 3,
-    rot cos/sin 2)."""
+    rot cos/sin 2).
+
+    dense_reg supervises every BEV cell inside the rotated box FOOTPRINT
+    (per-cell center offsets; nearest-box-center wins on overlap), not
+    just the center cell.  With single-cell supervision a 468x468 map
+    gets ~6 reg gradients per frame and heading converges hopelessly
+    slowly (a round-4 2000-step run: centers/dims/classes learned, rot
+    vectors shrunk toward zero, median heading error 63 deg; 6x rot
+    up-weighting made it worse).  Footprint supervision is ~70x denser
+    per box, teaches the smooth cell->center field the peak-cell decode
+    samples (offsets beyond [0,1) at off-center cells are consistent
+    with ops/postprocess.py's raw, non-sigmoid offset decode), and only
+    touches cells whose features contain object points."""
     H, W = cfg.grid_size[1], cfg.grid_size[0]
     vx, vy, _vz = cfg.voxel_size
     xmin, ymin, _zmin = cfg.pc_range_min
@@ -79,6 +92,7 @@ def assign_targets(gt_boxes: np.ndarray, cfg: DSVTConfig,
     heatmap = np.zeros((H, W, cfg.num_classes), np.float32)
     reg = np.zeros((H, W, 8), np.float32)
     mask = np.zeros((H, W), np.float32)
+    best_d2 = np.full((H, W), np.inf, np.float32)
 
     for box in np.asarray(gt_boxes, np.float32):
         x, y, z, dx, dy, dz, heading, cls = box[:GT_DIMS]
@@ -91,10 +105,35 @@ def assign_targets(gt_boxes: np.ndarray, cfg: DSVTConfig,
         radius = max(min_radius, int(radius))
         _draw_gaussian(heatmap[:, :, int(cls)], ix, iy, radius)
         heatmap[iy, ix, int(cls)] = 1.0
-        reg[iy, ix] = (fx - ix, fy - iy, z,
-                       np.log(dx), np.log(dy), np.log(dz),
-                       np.cos(heading), np.sin(heading))
+        tgt_tail = (z, np.log(dx), np.log(dy), np.log(dz),
+                    np.cos(heading), np.sin(heading))
+        if dense_reg:
+            # cells whose center lies inside the rotated footprint,
+            # clipped to a bounding patch around the box center
+            rr = int(np.ceil(0.5 * np.hypot(dx, dy) / min(vx, vy))) + 1
+            y0, y1 = max(iy - rr, 0), min(iy + rr + 1, H)
+            x0, x1 = max(ix - rr, 0), min(ix + rr + 1, W)
+            yy, xx = np.mgrid[y0:y1, x0:x1]
+            ox = (xx - fx) * vx
+            oy = (yy - fy) * vy
+            c, s = np.cos(heading), np.sin(heading)
+            rx = ox * c + oy * s          # along the box's +x (length dx)
+            ry = -ox * s + oy * c
+            d2 = ox * ox + oy * oy
+            sel = ((np.abs(rx) <= 0.5 * dx) & (np.abs(ry) <= 0.5 * dy)
+                   & (d2 < best_d2[y0:y1, x0:x1]))
+            bd = best_d2[y0:y1, x0:x1]
+            bd[sel] = d2[sel]
+            patch = reg[y0:y1, x0:x1]
+            patch[sel, 0] = (fx - xx)[sel]
+            patch[sel, 1] = (fy - yy)[sel]
+            patch[sel, 2:] = tgt_tail
+            mask[y0:y1, x0:x1][sel] = 1.0
+        # the exact center cell always wins for its own box (distance ~0
+        # beats any overlapping neighbor's footprint cells)
+        reg[iy, ix] = (fx - ix, fy - iy) + tgt_tail
         mask[iy, ix] = 1.0
+        best_d2[iy, ix] = 0.0  # pin: no overlapping footprint may overwrite
     return heatmap, reg, mask
 
 

@@ -27,7 +27,12 @@ def test_assign_targets_peak_and_reg(tiny_cfg):
     iy = int((y - ymin) / vy)
     assert hm[iy, ix, 1] == 1.0
     assert mask[iy, ix] == 1.0
-    assert mask.sum() == 1.0
+    # dense_reg supervises the rotated footprint (~dx*dy/(vx*vy) cells),
+    # single-cell mode exactly the center
+    area_cells = 4.0 * 1.8 / (vx * vy)
+    assert 0.4 * area_cells <= mask.sum() <= 1.6 * area_cells
+    _, _, mask1 = assign_targets(box, cfg, dense_reg=False)
+    assert mask1.sum() == 1.0
     # gaussian must decay but stay positive next to the peak
     assert 0 < hm[iy, ix + 1, 1] < 1.0
     # reg encodes what the decoder inverts (ops/postprocess.py)
@@ -39,6 +44,37 @@ def test_assign_targets_peak_and_reg(tiny_cfg):
                                rtol=1e-5)
     np.testing.assert_allclose(np.arctan2(reg[iy, ix, 7], reg[iy, ix, 6]),
                                0.7, atol=1e-5)
+    # every supervised cell's offset points back at the SAME box center,
+    # and carries the same tail targets — the field the peak-cell decode
+    # samples is spatially consistent
+    ys, xs = np.nonzero(mask)
+    np.testing.assert_allclose((xs + reg[ys, xs, 0]) * vx + xmin, x,
+                               atol=1e-4)
+    np.testing.assert_allclose((ys + reg[ys, xs, 1]) * vy + ymin, y,
+                               atol=1e-4)
+    np.testing.assert_allclose(reg[ys, xs, 6], np.cos(0.7), atol=1e-5)
+
+
+def test_assign_targets_overlap_nearest_wins(tiny_cfg):
+    """Two overlapping boxes: contested cells take the nearer center's
+    field, and each box's own center cell is never clobbered."""
+    cfg = tiny_cfg
+    vx, vy, _ = cfg.voxel_size
+    xmin, ymin, _ = cfg.pc_range_min
+    boxes = np.array([[1.0, 0.0, -1.0, 4.0, 2.0, 1.5, 0.0, 1],
+                      [3.5, 0.0, -1.0, 4.0, 2.0, 1.5, 0.0, 2]], np.float32)
+    hm, reg, mask = assign_targets(boxes, cfg)
+    for x, y, cls in ((1.0, 0.0, 1), (3.5, 0.0, 2)):
+        ix = int((x - xmin) / vx)
+        iy = int((y - ymin) / vy)
+        assert mask[iy, ix] == 1.0
+        np.testing.assert_allclose((ix + reg[iy, ix, 0]) * vx + xmin, x,
+                                   atol=1e-5)
+    # every supervised cell decodes to one of the two true centers
+    ys, xs = np.nonzero(mask)
+    cx = (xs + reg[ys, xs, 0]) * vx + xmin
+    near = np.minimum(np.abs(cx - 1.0), np.abs(cx - 3.5))
+    assert near.max() < 1e-4
 
 
 def test_gaussian_radius_monotone():
