@@ -165,7 +165,7 @@ def backbone3d_forward(pillar_feats: jax.Array,
                 qkv_p,
                 constrain_rows(sp.inds[e]), constrain_rows(sp.key_mask),
                 cfg.num_heads, precision, fused_kernel=use_fused,
-                flat_out=use_fused)
+                flat_out=use_fused, set_count=sp.set_count)
             n_sets, k_slots = sp.inds[e].shape
             attn_p = _scatter_back(constrain_rows(attn), sp.canon[e],
                                    n_sets, k_slots)

@@ -73,7 +73,8 @@ def vfe_forward(pillars: Pillars, params: dict, max_pillars: int,
         # exclusive cumsum); invalid pillars land OOB -> fill 0
         starts = jnp.cumsum(pillars.num_points) - pillars.num_points
         starts = jnp.where(pillars.pillar_valid, starts, N)
-        pillar_feats = segmented_max(x, is_start, cap).at[starts].get(
+        pillar_feats = segmented_max(x, is_start, cap,
+                                     starts_only=True).at[starts].get(
             mode="fill", fill_value=0)
     else:
         _, pillar_feats = scatter_max(x, pid, pillars.point_valid,

@@ -28,7 +28,8 @@ from .common import dot_precision
 
 def _fused_flat_padded(qkv_p: jax.Array, inds: jax.Array, key_mask: jax.Array,
                        num_heads: int, k_pad: int,
-                       interpret: bool = False) -> jax.Array:
+                       interpret: bool = False,
+                       set_count: jax.Array = None) -> jax.Array:
     """Flat fused-kernel path with the set dim storage-padded K -> k_pad.
 
     Pad slots gather with mode="clip" (their row values are never observed:
@@ -54,13 +55,15 @@ def _fused_flat_padded(qkv_p: jax.Array, inds: jax.Array, key_mask: jax.Array,
                            constant_values=jnp.float32(-3.4028235e38))
     qkv_flat = jnp.take(qkv_p, inds.reshape(-1), axis=0, mode="clip")
     return set_attention_fused_flat(qkv_flat, key_mask, num_heads,
-                                    interpret=interpret)
+                                    interpret=interpret,
+                                    set_count=set_count)
 
 
 def set_attention_qkv(qkv_p: jax.Array, inds: jax.Array, key_mask: jax.Array,
                       num_heads: int, precision: str = "fp32",
                       fused_kernel: bool = False,
-                      flat_out: bool = False) -> jax.Array:
+                      flat_out: bool = False,
+                      set_count: jax.Array = None) -> jax.Array:
     """Masked set attention over pre-projected, PACKED pillar Q/K/V.
 
     Projections run on the [P, C] pillar arrays (the gather commutes with
@@ -96,14 +99,16 @@ def set_attention_qkv(qkv_p: jax.Array, inds: jax.Array, key_mask: jax.Array,
         # semantics stay K=36 upstream (ops/windows.py).
         Kp = -(-K // 8) * 8
         if flat_out and supported(S, Kp, C, H):
-            out = _fused_flat_padded(qkv_p.astype(gt), inds, key_mask, H, Kp)
+            out = _fused_flat_padded(qkv_p.astype(gt), inds, key_mask, H, Kp,
+                                     set_count=set_count)
             return out  # [S*Kp, C]: caller derives the slot pitch Kp
         if supported(S, K, C, H):
             # 3D-output form for callers that need [S, K, C]
             from .attention_pallas import set_attention_fused_flat
             qkv_flat = jnp.take(qkv_p.astype(gt), inds.reshape(-1), axis=0,
                                 mode="clip")
-            out = set_attention_fused_flat(qkv_flat, key_mask, H)
+            out = set_attention_fused_flat(qkv_flat, key_mask, H,
+                                           set_count=set_count)
             return out.reshape(S, K, C)
 
     # ONE wide gather instead of three: TPU row-gather cost is per-row

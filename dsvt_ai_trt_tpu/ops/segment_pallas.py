@@ -66,7 +66,7 @@ def _plan(n_rows: int, cap: int, n_cols: int = 128, sublane: int = 8):
 
 
 def _seg_kernel(x_ref, xp_ref, xn_ref, f_ref, fp_ref, fn_ref, o_ref, *,
-                halo: int, nblocks: int, cap: int):
+                halo: int, nblocks: int, cap: int, starts_only: bool):
     ext = jnp.concatenate([xp_ref[:], x_ref[:], xn_ref[:]], axis=0)
     flg = jnp.concatenate([fp_ref[:], f_ref[:], fn_ref[:]], axis=0)
     R2 = ext.shape[0]
@@ -75,17 +75,18 @@ def _seg_kernel(x_ref, xp_ref, xn_ref, f_ref, fp_ref, fn_ref, o_ref, *,
     ident = jnp.asarray(_NEG, ext.dtype)
     combine = jnp.maximum
 
-    # forward segmented inclusive scan: m[r] = reduce over [start(r), r].
-    # rounds until the window 2^k reaches `cap` (the longest segment)
-    m, fl = ext, flg
-    d = 1
-    while d < cap:
-        sh_m = jnp.where(rows_x >= d, jnp.roll(m, d, axis=0), ident)
-        sh_f = jnp.where(row >= d, jnp.roll(fl, d, axis=0), 1.0)
-        m = jnp.where(fl > 0, m, combine(m, sh_m))
-        fl = jnp.maximum(fl, sh_f)
-        d *= 2
-    fwd = m
+    if not starts_only:
+        # forward segmented inclusive scan: m[r] = reduce over [start(r), r].
+        # rounds until the window 2^k reaches `cap` (the longest segment)
+        m, fl = ext, flg
+        d = 1
+        while d < cap:
+            sh_m = jnp.where(rows_x >= d, jnp.roll(m, d, axis=0), ident)
+            sh_f = jnp.where(row >= d, jnp.roll(fl, d, axis=0), 1.0)
+            m = jnp.where(fl > 0, m, combine(m, sh_m))
+            fl = jnp.maximum(fl, sh_f)
+            d *= 2
+        fwd = m
 
     # backward: segment-end flags are the next row's start flag; the global
     # last row is always an end (only reachable in the final block's center)
@@ -100,23 +101,39 @@ def _seg_kernel(x_ref, xp_ref, xn_ref, f_ref, fp_ref, fn_ref, o_ref, *,
         m = jnp.where(fl > 0, m, combine(m, sh_m))
         fl = jnp.maximum(fl, sh_f)
         d *= 2
-    # fwd covers [start, r], bwd covers [r, end]; max's overlap at r is
-    # idempotent.  (A sum variant — fwd + bwd - x — was built for the
-    # voxelizer's counts/means and measured 0.35 ms SLOWER than the XLA
-    # scatter there: its [N, 5] contrib pads to 128 VMEM lanes, so the scan
-    # pays ~26x-padded VPU work; narrow-column reductions stay scatters.)
-    total = jnp.maximum(fwd, m)
+    if starts_only:
+        # bwd alone covers [r, end] == the whole segment at r == start(r);
+        # rows the caller won't read (non-starts) carry the partial suffix
+        # max, which is fine — the vfe table gather touches starts only.
+        # Halves the scan rounds: the kernel is VPU-bound, and the table
+        # call was 0.65 ms of the 2.3 ms Waymo vfe stage.
+        total = m
+    else:
+        # fwd covers [start, r], bwd covers [r, end]; max's overlap at r is
+        # idempotent.  (A sum variant — fwd + bwd - x — was built for the
+        # voxelizer's counts/means and measured 0.35 ms SLOWER than the XLA
+        # scatter there: its [N, 5] contrib pads to 128 VMEM lanes, so the
+        # scan pays ~26x-padded VPU work; narrow-column reductions stay
+        # scatters.)
+        total = jnp.maximum(fwd, m)
     o_ref[:] = total[halo:R2 - halo].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cap", "interpret",
+                                             "starts_only"))
 def segmented_max(feats: jax.Array, is_start: jax.Array, cap: int,
-                  interpret: bool = False) -> jax.Array:
+                  interpret: bool = False,
+                  starts_only: bool = False) -> jax.Array:
     """feats: [N, C]; is_start: [N] bool/float (1 at each segment's first
     row; row 0 of a sorted stream is always a start).  Segments must be
     contiguous and at most `cap` rows (rows of an over-cap segment — only
     the sorted stream's invalid-sentinel tail — are undefined).  Returns
-    [N, C]: each row holds its whole segment's channelwise max."""
+    [N, C]: each row holds its whole segment's channelwise max.
+
+    starts_only=True: only segment-START rows carry the full segment max
+    (other rows hold the suffix max from that row) — the backward scan
+    alone suffices, halving the VPU rounds.  Use when the output is only
+    gathered at segment starts (the vfe per-pillar table)."""
     N, C = feats.shape
     plan = _plan(N, cap, C, 16 if feats.dtype == jnp.bfloat16 else 8)
     assert plan is not None, "caller must gate on plan availability"
@@ -129,7 +146,8 @@ def segmented_max(feats: jax.Array, is_start: jax.Array, cap: int,
     prev_tail = lambda i: (jnp.maximum(i * k - 1, 0), 0)
     next_head = lambda i: (jnp.minimum((i + 1) * k, N // halo - 1), 0)
     return pl.pallas_call(
-        functools.partial(_seg_kernel, halo=halo, nblocks=nb, cap=cap),
+        functools.partial(_seg_kernel, halo=halo, nblocks=nb, cap=cap,
+                          starts_only=starts_only),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((R, C), center, memory_space=pltpu.VMEM),

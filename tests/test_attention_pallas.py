@@ -124,6 +124,27 @@ def test_padded_k_flat_path_matches_dpa(rng):
     assert np.all(dump == 0.0)
 
 
+def test_set_count_gate_matches_full(rng):
+    """Blocks past set_count skip compute and write zeros — identical to
+    the ungated kernel when sets >= count carry all-dead key masks (the
+    SetPartition contract, ops/windows.py:172)."""
+    P, C, H, S, K = 300, 64, 4, 64, 8
+    count = 19                       # straddles a 8/16/32-set block boundary
+    qkv_p, inds, mask = _mk(rng, P, C, S, K)
+    inds[count:] = P
+    mask[count:] = -3.4028235e38
+    qkv_g = jnp.take(jnp.asarray(qkv_p).astype(jnp.bfloat16),
+                     jnp.asarray(inds).reshape(-1), axis=0,
+                     mode="fill", fill_value=0)
+    full = np.asarray(set_attention_fused_flat(
+        qkv_g, jnp.asarray(mask), H, interpret=True))
+    gated = np.asarray(set_attention_fused_flat(
+        qkv_g, jnp.asarray(mask), H, interpret=True,
+        set_count=jnp.int32(count)))
+    np.testing.assert_array_equal(gated, full)
+    assert np.all(gated.reshape(S, K, C)[count:] == 0)
+
+
 def test_block_divisor_rules():
     assert _block_sets(800) == 32        # multiple of 8, divides 800, <= 32
     assert _block_sets(1024) == 32       # VMEM-bounded (Waymo shapes)

@@ -41,6 +41,22 @@ def test_segmented_max_matches_reference(rng):
                                        err_msg=f"segment {s}:{e}")
 
 
+def test_segmented_max_starts_only(rng):
+    """starts_only: segment-START rows carry the full segment max (the only
+    rows the vfe pillar-table gather reads); other rows are undefined."""
+    N, C, CAP, P = 1920, 16, 48, 600
+    ids, is_start = _stream(rng, N, P, CAP, 1700)
+    feats = rng.normal(0, 1, (N, C)).astype(np.float32)
+    got = np.asarray(segmented_max(jnp.asarray(feats), jnp.asarray(is_start),
+                                   CAP, interpret=True, starts_only=True))
+    starts = np.flatnonzero(is_start)
+    ends = np.append(starts[1:], N)
+    for s, e in zip(starts, ends):
+        if e - s <= CAP:
+            np.testing.assert_allclose(got[s], feats[s:e].max(0),
+                                       err_msg=f"segment {s}:{e}")
+
+
 def test_segmented_max_single_point_segments(rng):
     """Degenerate all-singleton stream: output == input."""
     N, C = 384, 8
