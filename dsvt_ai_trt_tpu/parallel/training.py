@@ -59,7 +59,25 @@ def detection_loss(params, points, num_points, targets: Targets,
     m = targets.mask[..., None]
     reg_loss = jnp.sum(jnp.abs(reg_pred - targets.reg) * m) / jnp.maximum(
         jnp.sum(m) * reg_pred.shape[-1], 1.0)
-    return hm_loss + 0.25 * reg_loss
+    # double-angle auxiliary on the rot vector: L1((c^2-s^2, 2cs) vs
+    # (cos 2t, sin 2t)).  The primary L1 on (cos t, sin t) is BIMODAL under
+    # the pi-ambiguity every front-back-near-symmetric object carries — when
+    # features resolve orientation mod pi before direction, its optimum is
+    # the ZERO vector, and training collapses |rot| toward 0 with arbitrary
+    # decoded headings (measured: 2000 full-config steps ended at median
+    # heading error 63-73 deg, |rot| ~ 0.2 ~ init).  The doubled angle maps
+    # both modes to the SAME target, so mod-pi knowledge earns |rot| -> 1 on
+    # the correct axis; direction then rides the primary term where the
+    # wedge-roof cue (data.py) resolves it — and rotated IoU (the eval
+    # metric, like every box-overlap metric) is blind to a pi flip anyway.
+    # Tiny-config A/B, 500 steps: mod-pi median 57.2 -> 11.9 deg,
+    # frac<15deg 0.208 -> 0.708, |v| 0.19 -> 0.66.
+    c, s = out["rot"][..., 0], out["rot"][..., 1]
+    tc, ts = targets.reg[..., 6], targets.reg[..., 7]
+    aux = (jnp.abs(c * c - s * s - (tc * tc - ts * ts))
+           + jnp.abs(2.0 * c * s - 2.0 * tc * ts)) * targets.mask
+    aux_loss = jnp.sum(aux) / jnp.maximum(jnp.sum(targets.mask) * 2, 1.0)
+    return hm_loss + 0.25 * reg_loss + 0.25 * aux_loss
 
 
 def batched_loss(params, points, num_points, targets: Targets,

@@ -38,7 +38,7 @@ def eval_recovery(params, cfg, n_scenes: int, seed: int, min_score: float):
 
     rng = np.random.default_rng(seed)
     n_gt = n_hit = n_pred = n_true = 0
-    per_scene = []
+    per_scene, head_errs = [], []
     for _ in range(n_scenes):
         pts, n, gt = synthetic_scene(rng, cfg)
         dets = forward_jit(params, pts, n, cfg, True)
@@ -52,9 +52,34 @@ def eval_recovery(params, cfg, n_scenes: int, seed: int, min_score: float):
         n_true += round(p["coverage"] * len(boxes))
         per_scene.append({"gt": len(gt), "recall": r["coverage"],
                           "pred": len(boxes), "precision": p["coverage"]})
+        # heading diagnostic on center-matched pairs (rot is the detection
+        # quantity that converges last; rotated IoU@0.5 for an aspect-2.4
+        # box forgives only ~15-20 deg of heading error)
+        for g in gt:
+            if not len(boxes):
+                continue
+            d = np.hypot(boxes[:, 0] - g[0], boxes[:, 1] - g[1])
+            j = int(d.argmin())
+            if d[j] < 1.5:
+                e = (boxes[j, 6] - g[6] + np.pi) % (2 * np.pi) - np.pi
+                head_errs.append(abs(float(e)))
+    he = np.asarray(head_errs)
+    # mod-pi stats are the IoU-relevant ones: a pi-flipped heading gives the
+    # IDENTICAL box (centrally symmetric), and the double-angle aux loss
+    # (parallel/training.py:detection_loss) optimizes exactly mod-pi;
+    # direction (the raw stat) is only resolvable from the wedge-roof cue
+    he_pi = np.minimum(he, np.pi - he) if len(he) else he
     return {"recall": n_hit / max(n_gt, 1),
             "precision": n_true / max(n_pred, 1),
-            "n_gt": n_gt, "n_pred": n_pred, "scenes": per_scene}
+            "n_gt": n_gt, "n_pred": n_pred, "scenes": per_scene,
+            "heading_err_deg_median": round(float(np.degrees(
+                np.median(he))), 2) if len(he) else None,
+            "heading_frac_lt_15deg": round(float(
+                (he < np.pi / 12).mean()), 3) if len(he) else None,
+            "heading_modpi_deg_median": round(float(np.degrees(
+                np.median(he_pi))), 2) if len(he) else None,
+            "heading_modpi_frac_lt_15deg": round(float(
+                (he_pi < np.pi / 12).mean()), 3) if len(he) else None}
 
 
 def main():
@@ -116,7 +141,11 @@ def main():
     ev = eval_recovery(params, cfg, args.eval_scenes, seed=9999,
                        min_score=args.min_score)
     print(json.dumps({k: ev[k] for k in
-                      ("recall", "precision", "n_gt", "n_pred")}), flush=True)
+                      ("recall", "precision", "n_gt", "n_pred",
+                       "heading_err_deg_median", "heading_frac_lt_15deg",
+                       "heading_modpi_deg_median",
+                       "heading_modpi_frac_lt_15deg")}),
+          flush=True)
 
     # reload the .wts through the normal checkpoint path -> re-eval
     # (the reference's gen_wts round trip)
@@ -134,7 +163,11 @@ def main():
         "device": jax.devices()[0].device_kind,
         "loss_first": losses[0]["loss"], "loss_last": losses[-1]["loss"],
         "loss_curve": losses,
-        "eval": {k: ev[k] for k in ("recall", "precision", "n_gt", "n_pred")},
+        "eval": {k: ev[k] for k in ("recall", "precision", "n_gt", "n_pred",
+                                    "heading_err_deg_median",
+                                    "heading_frac_lt_15deg",
+                                    "heading_modpi_deg_median",
+                                    "heading_modpi_frac_lt_15deg")},
         "eval_scenes": ev["scenes"],
         "wts_roundtrip": {"recall": ev2["recall"],
                           "precision": ev2["precision"],
