@@ -24,17 +24,18 @@ from ..ops.scatter import scatter_max
 from ..ops.voxelize import Pillars
 
 
-def _dense(x, w, b, precision):
+def _dense(x, w, b, precision, out_dt=jnp.float32):
     dt = jnp.bfloat16 if precision == "bf16" else jnp.float32
     y = jnp.einsum("pc,cd->pd", x.astype(dt), w.astype(dt),
                    preferred_element_type=jnp.float32,
                    precision=dot_precision(precision)) + b
-    # NOTE: stays f32 on purpose.  Emitting bf16 here (monotone rounding
-    # commutes with the segment max, downstream dots identical) was
-    # measured and LOST: the segmented-max sweep is VPU-bound, not
-    # HBM-bound, and its bf16 form traced 0.94+0.66 vs 0.65+0.48 ms at
-    # Waymo shapes even with a 16-row-aligned block plan.
-    return jnp.maximum(y, 0.0)
+    # out_dt experiment ledger: a bf16 STREAM with the scan computed in
+    # bf16 LOST (0.94+0.66 vs 0.65+0.48 ms at Waymo — VPU rounds dominate
+    # and bf16 buys them nothing); bf16 stream + in-kernel f32 upcast is
+    # the round-4 hybrid (halves the matmul-write + scan-read HBM traffic,
+    # keeps f32 VPU math).  Monotone rounding commutes with the segment
+    # max and every downstream dot casts to bf16 anyway.
+    return jnp.maximum(y, 0.0).astype(out_dt)
 
 
 def vfe_forward(pillars: Pillars, params: dict, max_pillars: int,
@@ -50,23 +51,30 @@ def vfe_forward(pillars: Pillars, params: dict, max_pillars: int,
 
     N = pillars.point_feats.shape[0]
     pid = pillars.point_pillar
+    # bf16 streams need a 16-row-sublane block plan; gate on the one the
+    # kernel will actually use
+    sub = 16 if precision == "bf16" else 8
     fused = (allow_pallas and cap is not None
              and jax.default_backend() == "tpu"
-             and plan_available(N, cap, 192))
+             and plan_available(N, cap, 192, sub))
     if fused:
         is_start = jnp.concatenate(
             [jnp.ones((1,), bool), pid[1:] != pid[:-1]])
 
-    x = _dense(pillars.point_feats, params["l0"]["w"], params["l0"]["b"], precision)
-    x = jnp.where(pillars.point_valid[:, None], x, 0.0)
+    # bf16 streams on the fused fast path: the scan kernel upcasts to f32
+    # on load (segment_pallas), so only HBM traffic changes, not the math
+    sdt = jnp.bfloat16 if (fused and precision == "bf16") else jnp.float32
+    x = _dense(pillars.point_feats, params["l0"]["w"], params["l0"]["b"],
+               precision, out_dt=sdt)
+    x = jnp.where(pillars.point_valid[:, None], x, jnp.asarray(0, sdt))
     if fused:
         x_max = jnp.where(pillars.point_valid[:, None],
                           segmented_max(x, is_start, cap), 0.0)
     else:
         x_max, _ = scatter_max(x, pid, pillars.point_valid, max_pillars)
     x = jnp.concatenate([x, x_max], axis=-1)
-    x = _dense(x, params["l1"]["w"], params["l1"]["b"], precision)
-    x = jnp.where(pillars.point_valid[:, None], x, 0.0)
+    x = _dense(x, params["l1"]["w"], params["l1"]["b"], precision, out_dt=sdt)
+    x = jnp.where(pillars.point_valid[:, None], x, jnp.asarray(0, sdt))
     if fused:
         # per-pillar table = the scan value at each pillar's first row
         # (counts are the capped membership sizes, so starts is their

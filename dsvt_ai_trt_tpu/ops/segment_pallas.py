@@ -67,7 +67,8 @@ def _plan(n_rows: int, cap: int, n_cols: int = 128, sublane: int = 8):
 
 def _seg_kernel(x_ref, xp_ref, xn_ref, f_ref, fp_ref, fn_ref, o_ref, *,
                 halo: int, nblocks: int, cap: int, starts_only: bool):
-    ext = jnp.concatenate([xp_ref[:], x_ref[:], xn_ref[:]], axis=0)
+    ext = jnp.concatenate([xp_ref[:], x_ref[:], xn_ref[:]],
+                          axis=0).astype(jnp.float32)
     flg = jnp.concatenate([fp_ref[:], f_ref[:], fn_ref[:]], axis=0)
     R2 = ext.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (R2, 1), 0)
