@@ -118,3 +118,49 @@ def test_native_wts_parser_matches_python(tmp_path):
     np.testing.assert_array_equal(entries["module.a.weight"],
                                   sub["module.a.weight"].ravel())
     np.testing.assert_array_equal(entries["module.b.bias"], sub["module.b.bias"])
+
+
+def test_html_viewer_payload(tmp_path):
+    """The interactive WebGL export (tools/html_viewer.py, the Mayavi-scene
+    counterpart): embedded buffers must decode to exactly what the shaders
+    index — 4 floats/point (stride 16) and 6 floats/line-vertex (stride 24),
+    24 line vertices per box (12 edges), frames stepped by arrow keys."""
+    import base64
+    import json
+    import re
+
+    from tools.html_viewer import write_html
+
+    rng = np.random.default_rng(0)
+    frames = []
+    for i in range(2):
+        pts = rng.uniform(-10, 10, (50 + i, 4)).astype(np.float32)
+        boxes = np.zeros((3, 9), np.float32)
+        boxes[:, 3:6] = [4.0, 1.8, 1.6]
+        boxes[:, 7] = [0, 4, 9]
+        boxes[:, 8] = 0.8
+        frames.append({"name": f"f{i}", "points": pts, "boxes": boxes,
+                       "seconds": 0.01})
+    out = str(tmp_path / "v.html")
+    write_html(frames, out)
+    html = open(out).read()
+    payload = json.loads(re.search(r"const FRAMES = (\[.*?\]);\n", html,
+                                   re.S).group(1))
+    assert len(payload) == 2
+    for i, f in enumerate(payload):
+        assert f["n_points"] == 50 + i
+        pts = np.frombuffer(base64.b64decode(f["points_b64"]), np.float32)
+        assert pts.shape == ((50 + i) * 4,)
+        np.testing.assert_array_equal(
+            pts.reshape(-1, 4), frames[i]["points"])
+        lines = np.frombuffer(base64.b64decode(f["lines_b64"]), np.float32)
+        assert f["n_line_verts"] == 3 * 24          # 3 boxes x 12 edges x 2
+        assert lines.shape == (3 * 24 * 6,)
+        assert len(f["rows"]) == 3
+    # intensity-less points get zero-padded to stride 16
+    f3 = {"name": "p3", "points": np.ones((5, 3), np.float32),
+          "boxes": np.zeros((0, 9), np.float32)}
+    write_html([f3], out)
+    payload = json.loads(re.search(r"const FRAMES = (\[.*?\]);\n",
+                                   open(out).read(), re.S).group(1))
+    assert payload[0]["n_points"] == 5 and payload[0]["n_line_verts"] == 0

@@ -116,9 +116,14 @@ def main():
                     help="also dump box corners as json")
     ap.add_argument("--three-d", action="store_true",
                     help="also render a 3D wireframe view per frame")
+    ap.add_argument("--html", metavar="PATH",
+                    help="write ONE self-contained interactive WebGL viewer "
+                         "(all frames embedded; the Mayavi-scene counterpart "
+                         "— orbit/zoom/pan, arrow keys step frames)")
     args = ap.parse_args()
 
     os.makedirs(args.save_dir, exist_ok=True)
+    html_frames = []
     for bin_path in frame_paths(args.data):
         name = os.path.splitext(os.path.basename(bin_path))[0]
         txt = os.path.join(args.outputs, name + ".txt")
@@ -138,7 +143,14 @@ def main():
                        for i, b in enumerate(boxes)}
             with open(os.path.join(args.save_dir, name + ".json"), "w") as f:
                 json.dump(corners, f)
+        if args.html:
+            html_frames.append({"name": name, "points": pts[:n],
+                                "boxes": boxes, "seconds": seconds})
         print(f"{name}: {len(boxes)} boxes -> {out_png}")
+    if args.html and html_frames:
+        from html_viewer import write_html
+        write_html(html_frames, args.html)
+        print(f"interactive viewer ({len(html_frames)} frames) -> {args.html}")
 
 
 if __name__ == "__main__":
