@@ -37,14 +37,16 @@ from jax.experimental.pallas import tpu as pltpu
 def _attn_kernel_pairs(count_ref, qkv_ref, valid_ref, out_ref, *,
                        num_heads: int, k_slots: int, group: int,
                        block_sets: int):
-    """Occupancy gate: sets with id >= set_count are invalid (all-dead key
-    masks) and today's math hands them exact zeros through the dead-segment
-    path.  Blocks made ONLY of such sets skip the MXU/VPU work entirely and
+    """Occupancy gate: sets with id >= set_count are invalid — SetPartition
+    emits ALL-dead key masks for them (ops/windows.py:set_partition), so the
+    ungated dead-segment math hands them exact zeros.  Blocks made ONLY of
+    such sets skip the MXU/VPU work entirely and
     memset their output block instead — identical results, and the per-call
     cost becomes proportional to ceil(count/BS) instead of S/BS (Waymo runs
     S=1024 at 599/416 occupancy: ~40% of every attention pass was padding).
-    The input DMA still runs for skipped blocks (BlockSpec prefetch is
-    unconditional), but the kernel is compute-bound, not DMA-bound."""
+    Dead blocks' input DMAs are killed too: their BlockSpec index remaps to
+    block 0 (_gated_index), so consecutive dead steps present the same
+    index and the pipeline skips the copy."""
     live = pl.program_id(0) * block_sets < count_ref[0]
 
     @pl.when(jnp.logical_not(live))
@@ -55,6 +57,19 @@ def _attn_kernel_pairs(count_ref, qkv_ref, valid_ref, out_ref, *,
     def _body():
         _attn_block_math(qkv_ref, valid_ref, out_ref, num_heads=num_heads,
                          k_slots=k_slots, group=group)
+
+
+def _gated_index(i, count_ref, block_sets: int):
+    """BlockSpec index for the inputs: dead blocks (every set in the block
+    >= set_count) remap to resident block 0, so Pallas's pipeline sees the
+    same index as the previous dead step and SKIPS their input DMA (the
+    kernel never reads inputs on the dead path).  Round-4 note said "the
+    input DMA still runs for skipped blocks" — this kills it: Waymo runs
+    S=1024 at ~600/416 live sets, so ~40% of the qkv stream per pass was
+    DMA'd only to be ignored.  Outputs keep the identity map: dead blocks
+    must still WRITE their zeros (the [count:, :] slots are contractually
+    zero, tests/test_attention_pallas.py)."""
+    return jnp.where(i * block_sets < count_ref[0], i, 0)
 
 
 def _attn_block_math(qkv_ref, valid_ref, out_ref, *, num_heads: int,
@@ -197,9 +212,11 @@ def set_attention_fused_flat(qkv_flat: jax.Array, key_mask: jax.Array,
             num_scalar_prefetch=1,
             grid=(S // bs,),
             in_specs=[
-                pl.BlockSpec((bs // G, G * K, C3), lambda i, c: (i, 0, 0),
+                pl.BlockSpec((bs // G, G * K, C3),
+                             lambda i, c: (_gated_index(i, c, bs), 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((bs // G, G * K, 1), lambda i, c: (i, 0, 0),
+                pl.BlockSpec((bs // G, G * K, 1),
+                             lambda i, c: (_gated_index(i, c, bs), 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((bs // G, G * K, C), lambda i, c: (i, 0, 0),

@@ -54,8 +54,9 @@ class SetPartition(NamedTuple):
 
     inds:       [2, S, K] global pillar index per (axis, set, slot); dump row
                 (== max_pillars) on invalid sets.
-    key_mask:   [S, K] additive attention mask, 0 or -3.4e38 on
-                duplicate-padded slots (identical across axes, see module doc).
+    key_mask:   [S, K] additive attention mask, -3.4e38 on duplicate-padded
+                slots and on every slot of invalid sets (>= set_count), 0
+                elsewhere (identical across axes, see module doc).
     set_count:  [] int32 number of valid sets.
     canon:      [2, P] flat canonical (set*K + slot) position of each pillar
                 per axis, used to gather attention outputs back to pillars;
@@ -144,9 +145,13 @@ def set_partition(part: WindowPartition, pillar_valid: jax.Array,
     # win_count get start = P (sort sentinel) and size 0; the one consumer
     # of out-of-count starts (src_pos for invalid sets) clamps and is
     # masked to the dump index anyway.
+    # TWO trailing sentinels: the slices below reach starts_w[W + 1], and
+    # W == P whenever the grid holds more windows than the pillar cap
+    # (e.g. the flagship 468-row grid at a reduced-cap dryrun: 1600 windows
+    # vs P = 1024) — one sentinel under-ran that case by a row
     starts_w = jnp.concatenate(
         [jnp.sort(jnp.where(new_win, pos, jnp.int32(P))),
-         jnp.full((1,), P, jnp.int32)])                       # [P + 1]
+         jnp.full((2,), P, jnp.int32)])                       # [P + 2]
     n_valid_rows = jnp.sum(s_valid.astype(jnp.int32))
     win_start = starts_w[:W + 1]
     nxt_start = starts_w[1:W + 2]
@@ -195,12 +200,18 @@ def set_partition(part: WindowPartition, pillar_valid: jax.Array,
     ])                                                              # [2, S, K]
 
     # duplicate-slot mask: slot k>0 masked iff local[k]==local[k-1]
-    # (useLocalIndexGetSortedGlobalIndex__kernel, getSet.cu:541-566)
+    # (useLocalIndexGetSortedGlobalIndex__kernel, getSet.cu:541-566).
+    # Invalid sets (>= set_count) carry ALL-dead masks: the fused kernel's
+    # occupancy gate (ops/attention_pallas.py) skips whole blocks of them
+    # and writes zeros, which is exactly what the ungated dead-segment math
+    # produces for an all-dead set — this line is what makes that contract
+    # hold (a live mask there would let the clip-gathered rows compute
+    # nonzero, unobserved-but-confusing values at invalid-set slots).
     dup = jnp.concatenate([
         jnp.zeros((local.shape[0], 1), bool),
         local[:, 1:] == local[:, :-1],
     ], axis=1)
-    key_mask = jnp.where(dup & set_valid[:, None], jnp.float32(-3.4028235e38),
+    key_mask = jnp.where(dup | ~set_valid[:, None], jnp.float32(-3.4028235e38),
                          jnp.float32(0.0))
 
     # canonical inverse: pillar with in-window rank r maps to flat slot

@@ -126,8 +126,10 @@ def test_padded_k_flat_path_matches_dpa(rng):
 
 def test_set_count_gate_matches_full(rng):
     """Blocks past set_count skip compute and write zeros — identical to
-    the ungated kernel when sets >= count carry all-dead key masks (the
-    SetPartition contract, ops/windows.py:172)."""
+    the ungated kernel because sets >= count carry all-dead key masks (the
+    SetPartition contract, ops/windows.py:set_partition key_mask build;
+    pinned for the real partition by
+    test_windows.test_invalid_sets_carry_dead_masks)."""
     P, C, H, S, K = 300, 64, 4, 64, 8
     count = 19                       # straddles a 8/16/32-set block boundary
     qkv_p, inds, mask = _mk(rng, P, C, S, K)

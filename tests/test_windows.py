@@ -30,6 +30,21 @@ def test_set_partition_matches_oracle(tiny_cfg, rng):
             np.asarray(sp.key_mask)[:ref_count], ref_mask[:ref_count])
 
 
+def test_invalid_sets_carry_dead_masks(tiny_cfg, rng):
+    """Sets >= set_count must be ALL-dead in key_mask: the fused kernel's
+    occupancy gate (ops/attention_pallas.py) skips those blocks and writes
+    zeros, which equals the ungated math only when their masks kill every
+    key (fully-dead segments hard-zero)."""
+    cfg = tiny_cfg
+    vox = _parts(cfg, rng)
+    for spec in cfg.window_specs:
+        wp = window_partition(vox.coords, vox.pillar_valid, spec, cfg)
+        sp = set_partition(wp, vox.pillar_valid, spec, cfg)
+        count = int(sp.set_count)
+        assert count < cfg.max_sets, "need invalid sets to exercise the claim"
+        assert (np.asarray(sp.key_mask)[count:] < 0).all()
+
+
 def test_canonical_inverse(tiny_cfg, rng):
     """Every valid pillar's canonical slot must point back at itself."""
     cfg = tiny_cfg
@@ -114,6 +129,33 @@ def test_set_cap_overflow_graceful(tiny_cfg, rng):
                 assert flat[c] == p  # mapped pillars still invert correctly
     # dropped sets' slots carry the dump index
     assert (inds[:, 8:] == cfg.max_pillars).all()
+
+
+def test_more_windows_than_pillar_cap(tiny_cfg, rng):
+    """W == max_pillars regression: when the grid holds more windows than
+    the pillar cap (the flagship 468-row grid at a reduced-cap dryrun:
+    1600 windows vs P = 1024), the window-extent slices reach
+    starts_w[W + 1] and used to over-run the [P + 1] starts table by one
+    row (shape error at trace time).  Pillars must still invert through
+    canon exactly."""
+    import dataclasses
+    cfg = dataclasses.replace(tiny_cfg, max_pillars=16)
+    assert (cfg.window_specs[0].num_windows(cfg.sparse_shape)[0]
+            * cfg.window_specs[0].num_windows(cfg.sparse_shape)[1]
+            > cfg.max_pillars)
+    vox = _parts(cfg, rng, n=700)
+    valid = np.asarray(vox.pillar_valid)
+    for spec in cfg.window_specs:
+        wp = window_partition(vox.coords, vox.pillar_valid, spec, cfg)
+        sp = set_partition(wp, vox.pillar_valid, spec, cfg)
+        inds = np.asarray(sp.inds)
+        canon = np.asarray(sp.canon)
+        for axis in range(2):
+            flat = inds[axis].reshape(-1)
+            for p in np.nonzero(valid)[0]:
+                c = canon[axis, p]
+                if c < cfg.max_sets * cfg.set_size:
+                    assert flat[c] == p
 
 
 def test_duplicate_slots_produce_identical_attention_outputs(tiny_cfg, rng):
