@@ -114,8 +114,12 @@ def assign_targets(gt_boxes: np.ndarray, cfg: DSVTConfig,
             y0, y1 = max(iy - rr, 0), min(iy + rr + 1, H)
             x0, x1 = max(ix - rr, 0), min(ix + rr + 1, W)
             yy, xx = np.mgrid[y0:y1, x0:x1]
-            ox = (xx - fx) * vx
-            oy = (yy - fy) * vy
+            # membership + nearest-center tests measure from the CELL
+            # CENTER (xx + 0.5), so supervision is symmetric around the
+            # box; the offset target below stays (fx - xx), matching the
+            # corner-based decode in ops/postprocess.py
+            ox = (xx + 0.5 - fx) * vx
+            oy = (yy + 0.5 - fy) * vy
             c, s = np.cos(heading), np.sin(heading)
             rx = ox * c + oy * s          # along the box's +x (length dx)
             ry = -ox * s + oy * c
@@ -192,7 +196,25 @@ def synthetic_scene(rng, cfg: DSVTConfig, n_objects: int = 6,
     ground[:, 2] = rng.normal(-1.6, 0.05, n_ground)
     ground[:, 3] = rng.uniform(0, 0.3, n_ground)
 
-    boxes, clouds = [], [ground]
+    boxes, obj_clouds = _plant_boxes(rng, cfg, n_objects, pts_per_obj)
+    cloud = np.concatenate([ground] + obj_clouds)
+    rng.shuffle(cloud, axis=0)
+    n = min(len(cloud), cfg.max_points)
+    buf = np.zeros((cfg.max_points, 4), np.float32)
+    buf[:n] = cloud[:n]
+    return buf, np.int32(n), np.stack(boxes) if boxes else np.zeros((0, 8), np.float32)
+
+
+def _plant_boxes(rng, cfg: DSVTConfig, n_objects: int, pts_per_obj: int,
+                 occupied_xy: np.ndarray = None, max_tries: int = 40):
+    """Sample n_objects planted boxes + their surface points.
+
+    occupied_xy: [N, 2] existing points; candidate sites with more than a
+    handful of them inside the footprint are rejected, so planted objects
+    land in FREE space of a real scene instead of inside walls/cars."""
+    lo = np.array(cfg.pc_range_min, np.float32)
+    hi = np.array(cfg.pc_range_max, np.float32)
+    boxes, clouds = [], []
     for _ in range(n_objects):
         cls = int(rng.integers(0, cfg.num_classes))
         # class-dependent size template (+-7% jitter): geometry must CARRY
@@ -212,7 +234,16 @@ def synthetic_scene(rng, cfg: DSVTConfig, n_objects: int = 6,
         base = np.array([base_l * 0.42, base_l, 1.35 * 1.05 ** cls],
                         np.float32)                       # (w, l, h)
         dims = base * rng.uniform(0.93, 1.07, 3)
-        ctr = rng.uniform(lo[:2] * 0.5, hi[:2] * 0.5)
+        for _try in range(max_tries):
+            ctr = rng.uniform(lo[:2] * 0.5, hi[:2] * 0.5)
+            if occupied_xy is None or not len(occupied_xy):
+                break
+            r = 0.6 * float(np.hypot(dims[0], dims[1]))
+            near = np.sum(np.abs(occupied_xy - ctr).max(axis=1) < r)
+            if near <= 10:            # few strays inside: free enough
+                break
+        else:
+            continue                   # no free site found: skip this object
         heading = rng.uniform(-np.pi, np.pi)
         box = np.array([ctr[0], ctr[1], -1.0, dims[1], dims[0], dims[2],
                         heading, cls], np.float32)
@@ -222,13 +253,32 @@ def synthetic_scene(rng, cfg: DSVTConfig, n_objects: int = 6,
             axis=1)
         boxes.append(box)
         clouds.append(cloud)
+    return boxes, clouds
 
-    cloud = np.concatenate(clouds)
+
+def real_background_scene(rng, cfg: DSVTConfig, base_points: np.ndarray,
+                          n_objects: int = 6, pts_per_obj: int = 150
+                          ) -> Tuple[np.ndarray, np.int32, np.ndarray]:
+    """Planted GT boxes composited onto a REAL LiDAR frame (VERDICT r4
+    task 7): the detector must localize the plants while rejecting
+    real-world clutter (walls, ground returns, parked geometry) instead of
+    the statistically uniform synthetic ground plane.
+
+    base_points: [N, >=4] the real frame's points (e.g. a bundled
+    /root/reference/data/bin cloud); sites are chosen in free space (at
+    most a few real points inside the footprint) so the planted GT is
+    unambiguous.  Returns the same (points, count, gt) contract as
+    synthetic_scene."""
+    base = np.asarray(base_points, np.float32)[:, :4]
+    boxes, clouds = _plant_boxes(rng, cfg, n_objects, pts_per_obj,
+                                 occupied_xy=base[:, :2])
+    cloud = np.concatenate([base] + clouds) if clouds else base
     rng.shuffle(cloud, axis=0)
     n = min(len(cloud), cfg.max_points)
     buf = np.zeros((cfg.max_points, 4), np.float32)
     buf[:n] = cloud[:n]
-    return buf, np.int32(n), np.stack(boxes) if boxes else np.zeros((0, 8), np.float32)
+    gt = np.stack(boxes) if boxes else np.zeros((0, GT_DIMS), np.float32)
+    return buf, np.int32(n), gt
 
 
 def synthetic_batch(rng, cfg: DSVTConfig, batch: int, **kw):

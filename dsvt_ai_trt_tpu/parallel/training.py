@@ -51,7 +51,7 @@ def focal_loss(pred_logits: jax.Array, target: jax.Array,
 
 
 def detection_loss(params, points, num_points, targets: Targets,
-                   cfg: DSVTConfig) -> jax.Array:
+                   cfg: DSVTConfig, dir_weight: float = 0.25) -> jax.Array:
     out = forward_debug(params, points, num_points, cfg).head_out
     hm_loss = focal_loss(out["hm"], targets.heatmap)
     reg_pred = jnp.concatenate(
@@ -77,11 +77,39 @@ def detection_loss(params, points, num_points, targets: Targets,
     aux = (jnp.abs(c * c - s * s - (tc * tc - ts * ts))
            + jnp.abs(2.0 * c * s - 2.0 * tc * ts)) * targets.mask
     aux_loss = jnp.sum(aux) / jnp.maximum(jnp.sum(targets.mask) * 2, 1.0)
-    return hm_loss + 0.25 * reg_loss + 0.25 * aux_loss
+    # direction term: the aux + primary combination has a genuine LOCAL
+    # MINIMUM at the pi-flipped vector v = -t (round-4 run: raw heading
+    # median 154.8 deg, i.e. direction frozen at whichever mode each cell
+    # picked early; the wedge cue itself is fully identifiable from
+    # per-pillar max-z — tools/heading_probe.py probe: 1.00 direction
+    # accuracy — so the failure was pure loss landscape).  Along the
+    # radial escape path v = alpha*t the aux rises as |alpha^2-1| (max
+    # ~0.177 at the zero vector) while the primary falls at only
+    # ~(|tc|+|ts|)/16 per unit alpha — the barrier wins.  This term is
+    # 1 - v.t / max(|v|, 1): for |v| >= 1 the rotational 1 - cos(angle)
+    # whose gradient is tangential, and for small |v| a BOUNDED linear
+    # pull toward t — along the radial path its slope (-1 per unit alpha
+    # at w_dir's weight) dominates the aux barrier (+0.35 peak), so the
+    # flipped mode stops being a local minimum at all.  Weight chosen by
+    # tiny-config A/B (tools/heading_probe.py ab, 800 steps): 0.25 leaves
+    # recall / mod-pi untouched (0.53 vs 0.54 frac<15deg), 1.0 drags both
+    # down (mod-pi 13.3 -> 32.8 deg median — the rotation pull outmuscles
+    # localization early), and a plain 1/sqrt(|v|^2+eps) normalization was
+    # measured WORSE than no term at any weight (mod-pi 13.6 -> 48.6 deg):
+    # its 1/|v| gradients blow up exactly where training starts
+    # (|v| ~ 0.15 at init).  The tiny config cannot resolve the LATE-phase
+    # direction escape (its mod-pi phase never converges in 800 steps);
+    # the full-run receipt is TRAIN_r05.json's raw-heading stats.
+    norm = jnp.maximum(jnp.sqrt(c * c + s * s + 1e-12), 1.0)
+    dir_cos = (c * tc + s * ts) / norm
+    dir_loss = jnp.sum((1.0 - dir_cos) * targets.mask) / jnp.maximum(
+        jnp.sum(targets.mask), 1.0)
+    return hm_loss + 0.25 * reg_loss + 0.25 * aux_loss + dir_weight * dir_loss
 
 
 def batched_loss(params, points, num_points, targets: Targets,
-                 cfg: DSVTConfig, remat: bool = None) -> jax.Array:
+                 cfg: DSVTConfig, remat: bool = None,
+                 dir_weight: float = 0.25) -> jax.Array:
     # remat + SEQUENTIAL frames on TPU: jax.checkpoint makes the backward
     # recompute each frame's forward instead of storing every stage
     # activation, and lax.map (not vmap) keeps only ONE frame's graph live
@@ -98,21 +126,23 @@ def batched_loss(params, points, num_points, targets: Targets,
     if remat:
         per_frame = jax.lax.map(
             jax.checkpoint(lambda pnt: detection_loss(
-                params, pnt[0], pnt[1], pnt[2], cfg)),
+                params, pnt[0], pnt[1], pnt[2], cfg, dir_weight)),
             (points, num_points, targets))
     else:
         per_frame = jax.vmap(
-            lambda p, n, t: detection_loss(params, p, n, t, cfg))(
+            lambda p, n, t: detection_loss(params, p, n, t, cfg, dir_weight))(
             points, num_points, targets)
     return jnp.mean(per_frame)
 
 
-def make_train_step(cfg: DSVTConfig, optimizer=None):
+def make_train_step(cfg: DSVTConfig, optimizer=None,
+                    dir_weight: float = 0.25):
     optimizer = optimizer or optax.adamw(1e-4)
 
     def train_step(params, opt_state, points, num_points, targets):
         loss, grads = jax.value_and_grad(
-            lambda p: batched_loss(p, points, num_points, targets, cfg))(params)
+            lambda p: batched_loss(p, points, num_points, targets, cfg,
+                                   dir_weight=dir_weight))(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
