@@ -205,7 +205,7 @@ def main():
     # timers (runtime/profiler.py) carried one tunnel RTT per entry.
     # stage_mfu is the per-stage roofline (device ms, XLA-counted GFLOP,
     # fraction of bf16 peak) — the adjudicator for any stage-MFU claim.
-    device_ms = stages_dev = top_ops = stage_mfu = None
+    device_ms = stages_dev = top_ops = stage_mfu = sparse_ops = None
     if os.environ.get("DSVT_BENCH_TRACE", "1") == "1":
         try:
             from dsvt_ai_trt_tpu.runtime.trace import capture
@@ -215,6 +215,12 @@ def main():
             stages_dev = prof.stage_ms()
             top_ops = {r["name"]: r["ms"] for r in prof.top_ops(5)}
             stage_mfu = prof.stage_table(peak)
+            # per-op decomposition of the SPARSE stages, keyed by emitting
+            # source line — the same receipt backbone2d's conv table got
+            # (VERDICT r4 task 5); the dense stages' tables live in README
+            sparse_ops = {st: prof.stage_ops(st)
+                          for st in ("dsvt_blocks", "voxelize",
+                                     "window_set_partition", "vfe")}
             if total_flops and peak:
                 mfu_device = round(total_flops / (device_ms / 1e3) / peak, 4)
         except Exception as exc:  # trace capture is best-effort
@@ -234,25 +240,43 @@ def main():
         exact_ms = round(stream_ms_per_frame(eengine, frames,
                                              max(iters // 2, 2)), 3)
 
-    # machine-readable parity gate in the driver artifact (VERDICT r3
-    # task 3): the fast path vs fp32 on the calibrated checkpoint.  The
-    # full precision x density matrix lives in tools/parity_suite.py.
-    parity = None
+    # machine-readable parity gates in the driver artifact (VERDICT r3
+    # task 3 / r4 task 8): the fast path vs fp32 on the calibrated
+    # checkpoint, over ALL distinct bundled frames, at BOTH densities when
+    # the Waymo pass is on.  A gate that cannot run records
+    # {"skipped": reason} — distinguishable from a pass — and any gate
+    # that runs and FAILS flips the top-level "ok" false and the process
+    # exit code nonzero, so a parity regression is loud in the committed
+    # artifact rather than a silent null (ADVICE r4).  The full
+    # precision x density matrix lives in tools/parity_suite.py.
+    parity = parity_waymo = None
+    gates_ok = True
     if os.environ.get("DSVT_BENCH_PARITY", "1") == "1":
-        try:
-            import sys
-            sys.path.insert(0, os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "tools"))
-            from parity_check import run_parity
+        import sys
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from parity_check import run_parity
 
-            pfast = cfg.precision if cfg.precision != "fp32" else "bf16"
-            pres = run_parity(fast=pfast, approx=cfg.approx_topk, n_frames=2)
-            parity = {"mode": pfast, "approx_topk": cfg.approx_topk,
-                      **pres["worst"], "pass_recall": pres["pass_recall"],
-                      "ok": pres["parity_ok"]}
-        except Exception as exc:
-            import logging
-            logging.getLogger("bench").warning("parity block failed: %s", exc)
+        pfast = cfg.precision if cfg.precision != "fp32" else "bf16"
+
+        def gate(density):
+            try:
+                pres = run_parity(fast=pfast, approx=cfg.approx_topk,
+                                  density=density, n_frames=3)
+                return {"mode": pfast, "approx_topk": cfg.approx_topk,
+                        **pres["worst"], "pass_recall": pres["pass_recall"],
+                        "ok": pres["parity_ok"]}, pres["parity_ok"]
+            except Exception as exc:
+                import logging
+                logging.getLogger("bench").warning(
+                    "parity gate (%s) could not run: %s", density, exc)
+                return {"skipped": f"{type(exc).__name__}: {exc}",
+                        "ok": False}, True  # cannot judge -> rc stays 0
+        parity, ran_ok = gate(None)
+        gates_ok &= ran_ok
+        if waymo:
+            parity_waymo, ran_ok = gate("waymo")
+            gates_ok &= ran_ok
 
     # Waymo-density stretch in the same artifact (VERDICT r2 task 4); the
     # trace runs on the SAME engine so the ~7 ms delta vs nuScenes is
@@ -293,6 +317,11 @@ def main():
         "batch_size": bsz,
         "exact_topk_stream_ms": exact_ms,
         "parity": parity,
+        "parity_waymo": parity_waymo,
+        # ok = every enabled parity gate ran AND passed (a skipped gate is
+        # NOT a pass); rc goes nonzero below only when a gate ran and FAILED
+        "ok": bool(parity is not None and parity.get("ok", False)
+                   and (not waymo or (parity_waymo or {}).get("ok", False))),
         "waymo_ms": waymo_ms,
         "waymo_device_ms": waymo_device_ms,
         "waymo_stages": waymo_stages,
@@ -301,6 +330,7 @@ def main():
         "device_ms_per_frame": device_ms,
         "stages_device_ms": stages_dev,
         "stage_mfu": stage_mfu,
+        "sparse_ops": sparse_ops,
         "top_ops_device_ms": top_ops,
         "flops_g": flops_g,
         "mfu": mfu,
@@ -308,6 +338,8 @@ def main():
         "device": jax.devices()[0].device_kind,
     }
     print(json.dumps(result))
+    if not gates_ok:
+        raise SystemExit(1)  # a parity gate ran and FAILED: be loud
 
 
 if __name__ == "__main__":

@@ -98,6 +98,31 @@ class DeviceProfile:
             out[k] = row
         return out
 
+    def stage_ops(self, stage: str, n: int = 8,
+                  min_ms: float = 0.02) -> List[dict]:
+        """Per-op rows for ONE stage, labeled by emitting source line.
+
+        The flat top-op list prints opaque fused names (``fusion.157``);
+        this keys each row by the op's ``source`` metadata (file:line of
+        the dominant emitted op) so the sparse stages can be decomposed
+        the way backbone2d's conv table was (VERDICT r4 task 5).  Pallas
+        custom-calls carry no python source and keep their kernel name."""
+        rows = [r for r in self.op_rows if r["stage"] == stage]
+        agg: Dict[str, dict] = {}
+        it = max(self.n_iters, 1)
+        for r in rows:
+            src = r.get("source", "")
+            key = (os.path.basename(src.split(",")[0]) if src
+                   else r["name"].split(".")[0])
+            row = agg.setdefault(key, {"op": key, "ms": 0.0,
+                                       "gflop": 0.0, "hlo": r["name"],
+                                       "category": r["category"]})
+            row["ms"] += r["ms"] / it
+            row["gflop"] += r.get("flops", 0.0) / it / 1e9
+        out = sorted(agg.values(), key=lambda r: -r["ms"])[:n]
+        return [{**r, "ms": round(r["ms"], 3), "gflop": round(r["gflop"], 2)}
+                for r in out if r["ms"] >= min_ms]
+
     def top_ops(self, n: int = 20) -> List[dict]:
         rows = sorted(self.op_rows, key=lambda r: -r["ms"])[:n]
         return [{**r, "ms": round(r["ms"] / max(self.n_iters, 1), 3)}
