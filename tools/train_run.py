@@ -92,7 +92,7 @@ def eval_recovery(params, cfg, n_scenes: int, seed: int, min_score: float,
             if best_iou < 0.5:       # the gate missed this GT: diagnose it
                 row = {"scene": si, "cls": int(g[7]),
                        "l": round(float(g[3]), 2),
-                       "best_iou_same_cls": round(best_iou, 3),
+                       "best_iou_same_cls": round(float(best_iou), 3),
                        "nearest_center_m": round(nd, 2)}
                 if nearest is not None and nd < 1.5:
                     e = ((nearest[6] - g[6] + np.pi) % (2 * np.pi)) - np.pi
@@ -168,6 +168,11 @@ def main():
     ap.add_argument("--data", default=os.environ.get(
         "DSVT_BENCH_DATA", "/root/reference/data/bin"))
     ap.add_argument("--out", default="TRAIN_r05.json")
+    ap.add_argument("--init-wts", default=None,
+                    help="resume from a saved .wts instead of random init "
+                         "(continue a run, or --steps 0 for eval-only)")
+    ap.add_argument("--dir-weight", type=float, default=0.25,
+                    help="weight of the 1-cos direction term")
     ap.add_argument("--wts", default="/tmp/dsvt_trained.wts")
     ap.add_argument("--log-every", type=int, default=10)
     args = ap.parse_args()
@@ -184,7 +189,11 @@ def main():
 
     enable_persistent_cache()
     cfg = DEFAULT_CONFIG
-    params = weights.random_params(cfg, seed=args.seed)
+    if args.init_wts:
+        params = weights.prepare_params(weights.load_wts(args.init_wts), cfg)
+        print(f"resumed params from {args.init_wts}", flush=True)
+    else:
+        params = weights.random_params(cfg, seed=args.seed)
 
     # the wedge-cue measurement that justifies expecting raw DIRECTION to
     # be learnable at all (VERDICT r4: "measure the feature, don't assume")
@@ -216,11 +225,12 @@ def main():
     # warmup-cosine: the fixed adamw(1e-4) default works but is slow to
     # localize from random init in a few hundred steps
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, args.lr, warmup_steps=min(50, args.steps // 4),
-        decay_steps=args.steps)
+        0.0, args.lr, warmup_steps=min(50, max(args.steps // 4, 1)),
+        decay_steps=max(args.steps, 1))
     optimizer, train_step = make_train_step(
         cfg, optax.chain(optax.clip_by_global_norm(10.0),
-                         optax.adamw(sched)))
+                         optax.adamw(sched)),
+        dir_weight=args.dir_weight)
     opt_state = optimizer.init(params)
     train_jit = jax.jit(train_step)
 
@@ -297,7 +307,10 @@ def main():
         "backend": jax.default_backend(),
         "device": jax.devices()[0].device_kind,
         "cue_probe": cue,
-        "loss_first": losses[0]["loss"], "loss_last": losses[-1]["loss"],
+        "init_wts": args.init_wts,
+        "dir_weight": args.dir_weight,
+        "loss_first": losses[0]["loss"] if losses else None,
+        "loss_last": losses[-1]["loss"] if losses else None,
         "loss_curve": losses,
         "eval": block(ev),
         "eval_scenes": ev["scenes"],
