@@ -131,20 +131,20 @@ def test_set_count_gate_matches_full(rng):
     pinned for the real partition by
     test_windows.test_invalid_sets_carry_dead_masks)."""
     P, C, H, S, K = 300, 64, 4, 64, 8
-    count = 19                       # straddles a 8/16/32-set block boundary
-    qkv_p, inds, mask = _mk(rng, P, C, S, K)
-    inds[count:] = P
-    mask[count:] = -3.4028235e38
-    qkv_g = jnp.take(jnp.asarray(qkv_p).astype(jnp.bfloat16),
-                     jnp.asarray(inds).reshape(-1), axis=0,
-                     mode="fill", fill_value=0)
-    full = np.asarray(set_attention_fused_flat(
-        qkv_g, jnp.asarray(mask), H, interpret=True))
-    gated = np.asarray(set_attention_fused_flat(
-        qkv_g, jnp.asarray(mask), H, interpret=True,
-        set_count=jnp.int32(count)))
-    np.testing.assert_array_equal(gated, full)
-    assert np.all(gated.reshape(S, K, C)[count:] == 0)
+    for count in (19, 0, 64):        # block-straddling, all-dead, all-live
+        qkv_p, inds, mask = _mk(rng, P, C, S, K)
+        inds[count:] = P
+        mask[count:] = -3.4028235e38
+        qkv_g = jnp.take(jnp.asarray(qkv_p).astype(jnp.bfloat16),
+                         jnp.asarray(inds).reshape(-1), axis=0,
+                         mode="fill", fill_value=0)
+        full = np.asarray(set_attention_fused_flat(
+            qkv_g, jnp.asarray(mask), H, interpret=True))
+        gated = np.asarray(set_attention_fused_flat(
+            qkv_g, jnp.asarray(mask), H, interpret=True,
+            set_count=jnp.int32(count)))
+        np.testing.assert_array_equal(gated, full)
+        assert np.all(gated.reshape(S, K, C)[count:] == 0)
 
 
 def test_block_divisor_rules():
