@@ -85,3 +85,30 @@ def test_stage_attribution_outermost_frame_wins():
     # pallas custom-calls without python source
     assert _stage_for("", "encoder_epilogue_kernel") == "dsvt_blocks"
     assert _stage_for("", "somewhere.unknown") == "other"
+
+
+def test_stage_ops_decomposes_by_source_line():
+    """stage_ops (bench's sparse_ops block, VERDICT r4 task 5) aggregates a
+    stage's ops by emitting source line, falls back to the HLO name prefix
+    for source-less ops (Pallas custom-calls), divides by n_iters, and
+    returns [] for stages with no rows."""
+    from dsvt_ai_trt_tpu.runtime.trace import DeviceProfile
+
+    rows = [
+        {"stage": "voxelize", "ms": 3.0, "flops": 1e9, "name": "fusion.12",
+         "category": "fusion", "source": "voxelize.py:137"},
+        {"stage": "voxelize", "ms": 1.0, "flops": 0.0, "name": "sort.3",
+         "category": "sort", "source": "voxelize.py:137"},
+        {"stage": "voxelize", "ms": 0.5, "flops": 0.0, "name": "fusion.9",
+         "category": "fusion", "source": ""},
+        {"stage": "dsvt_blocks", "ms": 2.0, "flops": 5e9,
+         "name": "custom-call.4", "category": "custom-call", "source": ""},
+    ]
+    p = DeviceProfile([6.5], rows, 2)
+    vox = p.stage_ops("voxelize")
+    assert vox[0] == {"op": "voxelize.py:137", "ms": 2.0, "gflop": 0.5,
+                      "hlo": "fusion.12", "category": "fusion"}
+    assert vox[1]["op"] == "fusion" and vox[1]["ms"] == 0.25
+    blk = p.stage_ops("dsvt_blocks")
+    assert blk[0]["op"] == "custom-call" and blk[0]["gflop"] == 2.5
+    assert p.stage_ops("vfe") == []
