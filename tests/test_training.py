@@ -199,3 +199,21 @@ def test_unfold_params_roundtrip(tiny_cfg, rng):
     assert int(a.count) == int(b.count)
     np.testing.assert_allclose(np.asarray(a.boxes), np.asarray(b.boxes),
                                atol=1e-5)
+
+
+def test_dense_footprint_symmetric_about_center(tiny_cfg):
+    """ADVICE r4: footprint membership measures from CELL CENTERS, so a box
+    centered on a cell center supervises a footprint symmetric under
+    180-degree rotation about that cell (the corner-based test skewed the
+    boundary ring by half a cell)."""
+    cfg = tiny_cfg
+    vx, vy, _ = cfg.voxel_size
+    xmin, ymin, _ = cfg.pc_range_min
+    ix, iy = 24, 20
+    x = (ix + 0.5) * vx + xmin
+    y = (iy + 0.5) * vy + ymin
+    box = np.array([[x, y, -1.0, 3.1, 1.7, 1.5, 0.3, 1]], np.float32)
+    _, _, mask = assign_targets(box, cfg)
+    ys, xs = np.nonzero(mask)
+    flipped = set(zip(2 * iy - ys, 2 * ix - xs))
+    assert flipped == set(zip(ys, xs))
