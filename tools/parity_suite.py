@@ -29,6 +29,7 @@ MATRIX = [
     ("bf16_nuscenes_exact", "bf16", None, False),
     ("mixed_nuscenes_approx", "mixed", None, True),
     ("bf16_waymo_approx", "bf16", "waymo", True),
+    ("bf16_waymo_exact", "bf16", "waymo", False),
     ("mixed_waymo_approx", "mixed", "waymo", True),
 ]
 
