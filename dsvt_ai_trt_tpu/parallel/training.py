@@ -51,7 +51,8 @@ def focal_loss(pred_logits: jax.Array, target: jax.Array,
 
 
 def detection_loss(params, points, num_points, targets: Targets,
-                   cfg: DSVTConfig, dir_weight: float = 0.25) -> jax.Array:
+                   cfg: DSVTConfig, dir_weight: float = 0.25,
+                   aux_weight: float = 0.25) -> jax.Array:
     out = forward_debug(params, points, num_points, cfg).head_out
     hm_loss = focal_loss(out["hm"], targets.heatmap)
     reg_pred = jnp.concatenate(
@@ -104,12 +105,14 @@ def detection_loss(params, points, num_points, targets: Targets,
     dir_cos = (c * tc + s * ts) / norm
     dir_loss = jnp.sum((1.0 - dir_cos) * targets.mask) / jnp.maximum(
         jnp.sum(targets.mask), 1.0)
-    return hm_loss + 0.25 * reg_loss + 0.25 * aux_loss + dir_weight * dir_loss
+    return (hm_loss + 0.25 * reg_loss + aux_weight * aux_loss
+            + dir_weight * dir_loss)
 
 
 def batched_loss(params, points, num_points, targets: Targets,
                  cfg: DSVTConfig, remat: bool = None,
-                 dir_weight: float = 0.25) -> jax.Array:
+                 dir_weight: float = 0.25,
+                 aux_weight: float = 0.25) -> jax.Array:
     # remat + SEQUENTIAL frames on TPU: jax.checkpoint makes the backward
     # recompute each frame's forward instead of storing every stage
     # activation, and lax.map (not vmap) keeps only ONE frame's graph live
@@ -126,23 +129,26 @@ def batched_loss(params, points, num_points, targets: Targets,
     if remat:
         per_frame = jax.lax.map(
             jax.checkpoint(lambda pnt: detection_loss(
-                params, pnt[0], pnt[1], pnt[2], cfg, dir_weight)),
+                params, pnt[0], pnt[1], pnt[2], cfg, dir_weight,
+                aux_weight)),
             (points, num_points, targets))
     else:
         per_frame = jax.vmap(
-            lambda p, n, t: detection_loss(params, p, n, t, cfg, dir_weight))(
+            lambda p, n, t: detection_loss(params, p, n, t, cfg, dir_weight,
+                                           aux_weight))(
             points, num_points, targets)
     return jnp.mean(per_frame)
 
 
 def make_train_step(cfg: DSVTConfig, optimizer=None,
-                    dir_weight: float = 0.25):
+                    dir_weight: float = 0.25, aux_weight: float = 0.25):
     optimizer = optimizer or optax.adamw(1e-4)
 
     def train_step(params, opt_state, points, num_points, targets):
         loss, grads = jax.value_and_grad(
             lambda p: batched_loss(p, points, num_points, targets, cfg,
-                                   dir_weight=dir_weight))(params)
+                                   dir_weight=dir_weight,
+                                   aux_weight=aux_weight))(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -173,6 +173,10 @@ def main():
                          "(continue a run, or --steps 0 for eval-only)")
     ap.add_argument("--dir-weight", type=float, default=0.25,
                     help="weight of the 1-cos direction term")
+    ap.add_argument("--aux-weight", type=float, default=0.25,
+                    help="weight of the double-angle aux term (lower it in "
+                         "a finishing phase: its pi-periodic pull opposes "
+                         "the direction term past 90 deg)")
     ap.add_argument("--wts", default="/tmp/dsvt_trained.wts")
     ap.add_argument("--log-every", type=int, default=10)
     args = ap.parse_args()
@@ -230,7 +234,7 @@ def main():
     optimizer, train_step = make_train_step(
         cfg, optax.chain(optax.clip_by_global_norm(10.0),
                          optax.adamw(sched)),
-        dir_weight=args.dir_weight)
+        dir_weight=args.dir_weight, aux_weight=args.aux_weight)
     opt_state = optimizer.init(params)
     train_jit = jax.jit(train_step)
 
@@ -309,6 +313,7 @@ def main():
         "cue_probe": cue,
         "init_wts": args.init_wts,
         "dir_weight": args.dir_weight,
+        "aux_weight": args.aux_weight,
         "loss_first": losses[0]["loss"] if losses else None,
         "loss_last": losses[-1]["loss"] if losses else None,
         "loss_curve": losses,
