@@ -91,14 +91,14 @@ class DSVTConfig:
     # per-class candidate search: exact top-k (reference semantics) or the
     # TPU-native approx_max_k (recall>=approx_recall_target per class; only
     # affects candidates ranked near K whose scores are far below the 0.3
-    # threshold in practice).  Exact by default.  The target defaults to
-    # 0.99, not jax's 0.95: the parity gate compares TWO independently
-    # approximated sides (fp32 vs fast), so per-call recall compounds —
-    # at 0.95 the 3-frame Waymo-density gate measured 14/15 confident
-    # boxes (PARITY_r05 first pass), at 0.99 it passes with the bin
-    # reduction still ~6x narrower than exact top-k.
+    # threshold in practice).  Exact by default.  Raising the target to
+    # 0.99 was measured a pure loss (round 5): approx_top_k 0.15 -> 0.60
+    # ms/frame (device 11.13 -> 11.60) and the Waymo parity gate's missing
+    # box did NOT return — the gate's expectation was wrong, not the
+    # search (two independently approximated sides compound to ~0.95^2
+    # end-to-end recall; tools/parity_check.py gates at that bound).
     approx_topk: bool = False
-    approx_recall_target: float = 0.99
+    approx_recall_target: float = 0.95
 
     # ---- execution ----
     # "fp32" = strict parity (Precision.HIGHEST matmuls); "mixed" = fp32 data
